@@ -1,0 +1,279 @@
+"""KB bundle construction (the reference's ``preprocessRdfData``).
+
+Reimplements the semantics of PostgresKB.java:893-1077 — build URI and
+literal dictionaries from the distinct union of statement parts, int-encode
+the object-property (``relations``) and datatype-property (``symbols``)
+triples by dictionary join, then derive the statistics tables
+(cardinalities PostgresKB.java:1177-1223, type clusters :1540-1603, markov
+chain :1225-1320) — as vectorized pyarrow/numpy driver-side code.  A KB fits
+one machine by design (it is the broadcast small side of every join); the
+document corpus is the side that scales to 10^12 rows.  For KBs past single
+-node memory, `pipelines/kb_build.py` runs the same dictionary encoding as
+a Ray Dataset job.
+
+Index determinism: index = rank in sorted distinct set (see bundle.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .bundle import RDF_TYPE, KBBundle
+
+
+def _sorted_unique(arrays: list[pa.ChunkedArray | pa.Array]) -> pa.Array:
+    chunks = []
+    for a in arrays:
+        if isinstance(a, pa.ChunkedArray):
+            chunks.extend(a.chunks)
+        else:
+            chunks.append(a)
+    combined = pa.chunked_array(chunks, pa.string()) if chunks else pa.chunked_array([], pa.string())
+    uniq = pc.unique(combined.combine_chunks())
+    return uniq.take(pc.array_sort_indices(uniq))
+
+
+def _encode(values: pa.ChunkedArray | pa.Array, dictionary: pa.Array) -> pa.Array:
+    """Map strings to their rank in the sorted dictionary (int64)."""
+    idx = pc.index_in(values, value_set=dictionary)
+    return pc.cast(idx, pa.int64())
+
+
+def build_kb_from_triples(
+    triples: pa.Table,
+    type_predicate: str = RDF_TYPE,
+    cluster_types: bool = True,
+) -> KBBundle:
+    """Build a :class:`KBBundle` from a cleaned (s, p, o, o_is_literal) table.
+
+    ``cluster_types``: the reference clusters correlating RDFS classes into
+    cluster labels (PostgresKB.clusterCorrelatingClasses:1540-1603).  With
+    identity clustering (the default here) every type is its own cluster;
+    :func:`cluster_correlating_types` computes co-occurrence clusters that
+    can be swapped in.
+    """
+    is_lit = triples["o_is_literal"]
+    dt = triples.filter(is_lit)
+    ot = triples.filter(pc.invert(is_lit))
+
+    # --- dictionaries (PostgresKB.storeResourceIndex :1079-1127) ------
+    uri_dict = _sorted_unique([triples["s"], triples["p"], ot["o"]])
+    lit_dict = _sorted_unique([dt["o"]])
+
+    resources = pa.table(
+        {"index": pa.array(np.arange(len(uri_dict), dtype=np.int64)), "uri": uri_dict}
+    )
+    literals = pa.table(
+        {"index": pa.array(np.arange(len(lit_dict), dtype=np.int64)), "literal": lit_dict}
+    )
+
+    # --- int-encode triples (:1151-1175, DISTINCT semantics) ----------
+    symbols = pa.table(
+        {
+            "subject": _encode(dt["s"], uri_dict),
+            "predicate": _encode(dt["p"], uri_dict),
+            "object": _encode(dt["o"], lit_dict),
+        }
+    )
+    symbols = _distinct(symbols)
+    symbols = symbols.append_column(
+        "belief", pa.array(np.ones(len(symbols)), pa.float64())
+    )
+
+    relations = pa.table(
+        {
+            "subject": _encode(ot["s"], uri_dict),
+            "predicate": _encode(ot["p"], uri_dict),
+            "object": _encode(ot["o"], uri_dict),
+        }
+    )
+    relations = _distinct(relations)
+
+    # --- rdf:type projection ------------------------------------------
+    type_idx_arr = pc.index_in(pa.array([type_predicate]), value_set=uri_dict)
+    type_pred_idx = type_idx_arr[0].as_py()
+    if type_pred_idx is None:
+        types = pa.table(
+            {"subject": pa.array([], pa.int64()), "type": pa.array([], pa.int64())}
+        )
+    else:
+        trows = relations.filter(pc.equal(relations["predicate"], type_pred_idx))
+        types = pa.table({"subject": trows["subject"], "type": trows["object"]})
+
+    # --- type clusters -------------------------------------------------
+    distinct_types = pc.unique(types["type"].combine_chunks())
+    distinct_types = distinct_types.take(pc.array_sort_indices(distinct_types))
+    if cluster_types and len(distinct_types):
+        cluster_map = cluster_correlating_types(types)
+        tc_types = distinct_types.to_pylist()
+        tc_clusters = [cluster_map.get(t, t) for t in tc_types]
+    else:
+        tc_types = distinct_types.to_pylist()
+        tc_clusters = tc_types
+    type_clusters = pa.table(
+        {
+            "type": pa.array(tc_types, pa.int64()),
+            "cluster": pa.array(tc_clusters, pa.int64()),
+        }
+    )
+
+    markov = build_markov_chain(relations, types, type_clusters, type_pred_idx)
+    cardinalities = build_cardinalities(relations)
+
+    return KBBundle(
+        resources=resources,
+        literals=literals,
+        symbols=symbols,
+        relations=relations,
+        types=types,
+        type_clusters=type_clusters,
+        markov=markov,
+        cardinalities=cardinalities,
+        meta={"type_predicate_index": type_pred_idx},
+    )
+
+
+def _distinct(table: pa.Table) -> pa.Table:
+    return table.group_by(table.column_names).aggregate([]).select(table.column_names)
+
+
+def build_markov_chain(
+    relations: pa.Table,
+    types: pa.Table,
+    type_clusters: pa.Table,
+    type_pred_idx: int | None,
+) -> pa.Table:
+    """P(predicate | cluster_s, cluster_o) from the relation graph.
+
+    The reference samples instances per cluster and counts
+    (cluster_s, p, type_o) co-occurrences (PostgresKB.java:1225-1320); at
+    KB-build scale we count exactly over all relations: join each non-type
+    relation to the subject's and object's clusters, group-count, and
+    normalize per (cluster_s, cluster_o) pair.
+    """
+    rel = relations
+    if type_pred_idx is not None:
+        rel = rel.filter(pc.not_equal(rel["predicate"], type_pred_idx))
+    if len(rel) == 0 or len(types) == 0:
+        return _empty_markov()
+
+    cluster_map = dict(
+        zip(type_clusters["type"].to_pylist(), type_clusters["cluster"].to_pylist())
+    )
+    subj_clusters: dict[int, list[int]] = {}
+    for s, t in zip(types["subject"].to_pylist(), types["type"].to_pylist()):
+        c = cluster_map.get(t, t)
+        lst = subj_clusters.setdefault(s, [])
+        if c not in lst:
+            lst.append(c)
+
+    counts: dict[tuple[int, int, int], int] = {}
+    for s, p, o in zip(
+        rel["subject"].to_pylist(),
+        rel["predicate"].to_pylist(),
+        rel["object"].to_pylist(),
+    ):
+        for cs in subj_clusters.get(s, ()):
+            for co in subj_clusters.get(o, ()):
+                key = (cs, p, co)
+                counts[key] = counts.get(key, 0) + 1
+    if not counts:
+        return _empty_markov()
+
+    pair_totals: dict[tuple[int, int], int] = {}
+    for (cs, _p, co), n in counts.items():
+        pair_totals[(cs, co)] = pair_totals.get((cs, co), 0) + n
+
+    rows = sorted(counts.items())
+    return pa.table(
+        {
+            "cluster_s": pa.array([k[0] for k, _ in rows], pa.int64()),
+            "predicate": pa.array([k[1] for k, _ in rows], pa.int64()),
+            "cluster_o": pa.array([k[2] for k, _ in rows], pa.int64()),
+            "prob": pa.array(
+                [n / pair_totals[(k[0], k[2])] for k, n in rows], pa.float64()
+            ),
+        }
+    )
+
+
+def _empty_markov() -> pa.Table:
+    return pa.table(
+        {
+            "cluster_s": pa.array([], pa.int64()),
+            "predicate": pa.array([], pa.int64()),
+            "cluster_o": pa.array([], pa.int64()),
+            "prob": pa.array([], pa.float64()),
+        }
+    )
+
+
+def build_cardinalities(relations: pa.Table) -> pa.Table:
+    """Per-predicate cardinality stats (PostgresKB.calculateCardinalities
+    :1177-1204): triple count, distinct subjects/objects, average fan-out."""
+    if len(relations) == 0:
+        return pa.table(
+            {
+                "predicate": pa.array([], pa.int64()),
+                "n_triples": pa.array([], pa.int64()),
+                "n_subjects": pa.array([], pa.int64()),
+                "n_objects": pa.array([], pa.int64()),
+                "avg_out": pa.array([], pa.float64()),
+                "avg_in": pa.array([], pa.float64()),
+            }
+        )
+    g = relations.group_by("predicate").aggregate(
+        [("subject", "count"), ("subject", "count_distinct"), ("object", "count_distinct")]
+    )
+    g = g.rename_columns(["predicate", "n_triples", "n_subjects", "n_objects"])
+    g = g.sort_by("predicate")
+    n_t = g["n_triples"].to_numpy().astype(np.float64)
+    return pa.table(
+        {
+            "predicate": pc.cast(g["predicate"], pa.int64()),
+            "n_triples": pc.cast(g["n_triples"], pa.int64()),
+            "n_subjects": pc.cast(g["n_subjects"], pa.int64()),
+            "n_objects": pc.cast(g["n_objects"], pa.int64()),
+            "avg_out": pa.array(n_t / g["n_subjects"].to_numpy(), pa.float64()),
+            "avg_in": pa.array(n_t / g["n_objects"].to_numpy(), pa.float64()),
+        }
+    )
+
+
+def cluster_correlating_types(types: pa.Table, threshold: float = 0.5) -> dict[int, int]:
+    """Group types that co-occur on the same subjects into clusters.
+
+    A simplified stand-in for the reference's agglomerative clustering over
+    the type-correlation matrix (PostgresKB.clusterCorrelatingClasses
+    :1540-1603 + DoubleMatrix.hierarchicalLabeledClustering :517-667):
+    types whose Jaccard co-occurrence over subjects exceeds ``threshold``
+    are merged (union-find); the cluster label is the smallest member type
+    index.  With single-typed subjects this degenerates to identity
+    clustering, matching our oracle fixtures.
+    """
+    subj = types["subject"].to_pylist()
+    typ = types["type"].to_pylist()
+    by_type: dict[int, set[int]] = {}
+    for s, t in zip(subj, typ):
+        by_type.setdefault(t, set()).add(s)
+
+    tids = sorted(by_type)
+    parent = {t: t for t in tids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(tids):
+        for b in tids[i + 1 :]:
+            sa, sb = by_type[a], by_type[b]
+            inter = len(sa & sb)
+            if inter and inter / len(sa | sb) >= threshold:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    return {t: find(t) for t in tids}

@@ -1,0 +1,155 @@
+"""End-to-end document→triple extraction pipeline (the reference's 14-slot
+``workflow/Pipeline.java`` re-expressed as a Ray Data stage chain).
+
+Physical design (SURVEY.md §3.1 "Ours"):
+
+- documents stream as Arrow blocks (``batch_format="pyarrow"``,
+  ``zero_copy_batch=True``) — no full materialization anywhere;
+- the whole per-document stage chain (spot → link → disambiguate → facts →
+  serialize) is FUSED into one actor-pool stage, :class:`ExtractActor`:
+  the broadcast KB bundle is fetched and indexed once per actor
+  (``__init__``), so trie/adjacency build cost is amortized across every
+  batch the actor ever sees, and intermediate annotation columns never hit
+  the object store;
+- the unfused variant (:func:`annotate_docs`) exposes each stage as its own
+  ``map_batches`` call for unit tests and per-stage inspection;
+- output is a triple dataset (doc_id, subj, pred, obj, graph, belief) to be
+  canonicalized (salted groupby — see canonicalize.py) and written as
+  partitioned parquet.
+
+Error handling: the reference swallows per-stage exceptions
+(Pipeline.java:170-184); we do NOT — a failing doc fails its batch and Ray
+retries the task; systematic failures surface.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+
+from ..stages.disambiguate import Disambiguator
+from ..stages.facts import FactStage
+from ..stages.link import Linker
+from ..stages.rate import RelevanceRater
+from ..stages.segment import segment_batch
+from ..stages.serialize import TripleSerializer
+from ..stages.spot import SpotConfig, Spotter, resolve_kb
+
+
+class ExtractActor:
+    """Fused extraction stage: one KB index build per actor, whole chain
+    per batch.  Use as
+    ``docs.map_batches(ExtractActor, fn_constructor_kwargs={"kb": kb_ref},
+    batch_format="pyarrow", concurrency=N, batch_size=B)``."""
+
+    def __init__(
+        self,
+        kb,
+        resolver: str = "degree",
+        markov_k: int = 1,
+        case_sensitive: bool = True,
+        emit: str = "triples",  # "triples" | "annotations"
+        rate: bool = False,
+    ):
+        index = resolve_kb(kb)  # one ray.get + index build per actor
+        cfg = SpotConfig(case_sensitive=case_sensitive)
+        self.spot = Spotter(index, cfg)
+        self.link = Linker(index)
+        self.disambiguate = Disambiguator(index, resolver=resolver)
+        self.facts = FactStage(index, markov_k=markov_k)
+        self.rater = RelevanceRater(index) if rate else None
+        self.serializer = TripleSerializer(index)
+        self.emit = emit
+
+    def annotate(self, batch: pa.Table) -> pa.Table:
+        batch = self.spot(batch)
+        batch = self.link(batch)
+        batch = self.disambiguate(batch)
+        batch = self.facts(batch)
+        if self.rater is not None:
+            batch = self.rater(batch)
+        return batch
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        annotated = self.annotate(batch)
+        if self.emit == "annotations":
+            return annotated
+        return self.serializer(annotated)
+
+
+def _kb_ref(kb) -> Any:
+    """Broadcast the KB bundle once: ray.put of the Arrow-table dict (the
+    tables ride the object store zero-copy; every actor on a node shares
+    one physical copy)."""
+    import ray
+
+    from ..kb.bundle import KBBundle
+
+    if isinstance(kb, ray.ObjectRef):
+        return kb
+    if isinstance(kb, KBBundle):
+        return ray.put(kb.tables())
+    return ray.put(kb)
+
+
+def extract_triples(
+    docs_ds,
+    kb,
+    *,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 256,
+    resolver: str = "degree",
+    markov_k: int = 1,
+    case_sensitive: bool = True,
+):
+    """docs Dataset -> triples Dataset (uncanonicalized, with doc_id)."""
+    return docs_ds.map_batches(
+        ExtractActor,
+        fn_constructor_kwargs={
+            "kb": _kb_ref(kb),
+            "resolver": resolver,
+            "markov_k": markov_k,
+            "case_sensitive": case_sensitive,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def annotate_docs(
+    docs_ds,
+    kb,
+    *,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 256,
+    resolver: str = "degree",
+    markov_k: int = 1,
+    case_sensitive: bool = True,
+    segment: bool = False,
+    rate: bool = False,
+):
+    """docs Dataset -> annotated docs Dataset (all per-doc list columns
+    retained, spans untouched).  Used by per-stage queries/tests and by the
+    span-roundtrip invariant check."""
+    if segment:
+        docs_ds = docs_ds.map_batches(
+            segment_batch, batch_format="pyarrow", zero_copy_batch=True
+        )
+    return docs_ds.map_batches(
+        ExtractActor,
+        fn_constructor_kwargs={
+            "kb": _kb_ref(kb),
+            "resolver": resolver,
+            "markov_k": markov_k,
+            "case_sensitive": case_sensitive,
+            "emit": "annotations",
+            "rate": rate,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,251 @@
+"""Deterministic KG fixtures derived from the TPC-H-ish test tables.
+
+The driver's correctness gate runs our Ray pipelines against DuckDB SQL
+oracles over the same parquet tables.  To make the *whole KG pipeline*
+SQL-checkable, the KB and the document corpus are pure relational
+derivations of the nation / region / supplier / customer tables — every
+expected pipeline output (mentions, candidates, resolved subjects, known
+facts, predictions, canonical triples) is then independently computable in
+ANSI SQL (see ``scoobie_ray.oracle``).
+
+Derivation (mirrors FIXTURES.md in spirit; deterministic, seedless):
+
+KB entities and labels
+    nation   uri  http://example.org/nation/<n_nationkey>     label n_name
+    region   uri  http://example.org/region/<r_regionkey>     label r_name
+    supplier uri  http://example.org/supplier/<s_suppkey>     label s_name
+    customer uri  http://example.org/customer/<c_custkey>     labels c_name
+             and the shared alias 'Holder_<c_custkey % 50>' (ambiguity sets
+             of ~n_customers/50, exercising disambiguation like the
+             reference's disambiguation suites)
+Relations (object properties)
+    nation   --locatedIn-->  region        (n_regionkey)
+    supplier --operatesIn--> nation        (s_nationkey)
+    customer --basedIn-->    nation        (c_nationkey)
+    rdf:type edges to ont classes Nation/Region/Supplier/Customer.
+
+Documents (one per entity; interleaved spans with media spans that carry
+no text — the per-row span-sequence invariant rides on these):
+    nation    doc-nation-<k>     "<n_name> is a nation in <r_name>."
+    supplier  doc-supplier-<k>   "<s_name> operates in <n_name>."
+    customer  doc-customer-<k>   "<c_name> is based in <n_name>."
+    alias     doc-alias-<k>      "<Holder_k%50> is based in <n_name>."
+Span layout per doc (key = entity key):
+    span0 = subject label (text), span1 = rest of sentence (text);
+    key % 3 == 0 → an image span between span0 and span1;
+    key % 3 == 1 → an audio span after span1; else no media span.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..kb.build import build_kb_from_triples
+from ..kb.bundle import RDF_TYPE, RDFS_LABEL, KBBundle
+from .docs import DOC_SCHEMA
+
+ONT = "http://example.org/ont/"
+P_LOCATED_IN = ONT + "locatedIn"
+P_OPERATES_IN = ONT + "operatesIn"
+P_BASED_IN = ONT + "basedIn"
+C_NATION = ONT + "Nation"
+C_REGION = ONT + "Region"
+C_SUPPLIER = ONT + "Supplier"
+C_CUSTOMER = ONT + "Customer"
+
+URI_NATION = "http://example.org/nation/%d"
+URI_REGION = "http://example.org/region/%d"
+URI_SUPPLIER = "http://example.org/supplier/%d"
+URI_CUSTOMER = "http://example.org/customer/%d"
+
+ALIAS_MOD = 50
+T_NATION = " is a nation in "
+T_OPERATES = " operates in "
+T_BASED = " is based in "
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> pa.Table:
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def kg_triple_table(sf_dir: str) -> pa.Table:
+    """The KB triple source (s, p, o, o_is_literal) derived from TPC-H."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+
+    s, p, o, lit = [], [], [], []
+
+    def add(su: str, pr: str, ob: str, is_lit: bool) -> None:
+        s.append(su)
+        p.append(pr)
+        o.append(ob)
+        lit.append(is_lit)
+
+    for k, name, rk in zip(*[nation[c].to_pylist() for c in nation.column_names]):
+        u = URI_NATION % k
+        add(u, RDFS_LABEL, name, True)
+        add(u, RDF_TYPE, C_NATION, False)
+        add(u, P_LOCATED_IN, URI_REGION % rk, False)
+    for k, name in zip(*[region[c].to_pylist() for c in region.column_names]):
+        u = URI_REGION % k
+        add(u, RDFS_LABEL, name, True)
+        add(u, RDF_TYPE, C_REGION, False)
+    for k, name, nk in zip(*[supplier[c].to_pylist() for c in supplier.column_names]):
+        u = URI_SUPPLIER % k
+        add(u, RDFS_LABEL, name, True)
+        add(u, RDF_TYPE, C_SUPPLIER, False)
+        add(u, P_OPERATES_IN, URI_NATION % nk, False)
+    for k, name, nk in zip(*[customer[c].to_pylist() for c in customer.column_names]):
+        u = URI_CUSTOMER % k
+        add(u, RDFS_LABEL, name, True)
+        add(u, RDFS_LABEL, "Holder_%d" % (k % ALIAS_MOD), True)
+        add(u, RDF_TYPE, C_CUSTOMER, False)
+        add(u, P_BASED_IN, URI_NATION % nk, False)
+
+    return pa.table(
+        {
+            "s": pa.array(s, pa.string()),
+            "p": pa.array(p, pa.string()),
+            "o": pa.array(o, pa.string()),
+            "o_is_literal": pa.array(lit, pa.bool_()),
+        }
+    )
+
+
+def kg_kb(sf_dir: str) -> KBBundle:
+    return build_kb_from_triples(kg_triple_table(sf_dir))
+
+
+def _doc_rows(doc_id: str, key: int, subject_label: str, rest: str) -> dict:
+    """Build one interleaved doc row per the span-layout rules above."""
+    spans: list[dict] = [
+        {"kind": "text", "text": subject_label, "media_ref": "", "offset": 0}
+    ]
+    off = len(subject_label)
+    if key % 3 == 0:
+        spans.append(
+            {
+                "kind": "image",
+                "text": "",
+                "media_ref": "media://img/%s" % doc_id,
+                "offset": off,
+            }
+        )
+    spans.append({"kind": "text", "text": rest, "media_ref": "", "offset": off})
+    if key % 3 == 1:
+        spans.append(
+            {
+                "kind": "audio",
+                "text": "",
+                "media_ref": "media://aud/%s" % doc_id,
+                "offset": off + len(rest),
+            }
+        )
+    return {"doc_id": doc_id, "spans": spans}
+
+
+def kg_docs_table(sf_dir: str) -> pa.Table:
+    """The interleaved document corpus derived from TPC-H (see module doc)."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+
+    region_name = dict(
+        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
+    )
+    nation_name = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+
+    rows: list[dict] = []
+    for k, name, rk in zip(*[nation[c].to_pylist() for c in nation.column_names]):
+        rows.append(
+            _doc_rows("doc-nation-%d" % k, k, name, T_NATION + region_name[rk] + ".")
+        )
+    for k, name, nk in zip(*[supplier[c].to_pylist() for c in supplier.column_names]):
+        rows.append(
+            _doc_rows("doc-supplier-%d" % k, k, name, T_OPERATES + nation_name[nk] + ".")
+        )
+    for k, name, nk in zip(*[customer[c].to_pylist() for c in customer.column_names]):
+        rows.append(
+            _doc_rows("doc-customer-%d" % k, k, name, T_BASED + nation_name[nk] + ".")
+        )
+        rows.append(
+            _doc_rows(
+                "doc-alias-%d" % k,
+                k,
+                "Holder_%d" % (k % ALIAS_MOD),
+                T_BASED + nation_name[nk] + ".",
+            )
+        )
+    return pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Hand-written smoke fixture mirroring the reference's test1/test2.ttl
+# (Percy Jackson / Camp Halfblood; see FIXTURES.md §4).
+# ---------------------------------------------------------------------------
+
+SMOKE_TRIPLES = [
+    ("http://example.org/instance#Percy_Jackson", RDFS_LABEL, "Percy Jackson", True),
+    ("http://example.org/instance#Percy_Jackson", RDF_TYPE, ONT + "Person", False),
+    ("http://example.org/instance#Camp_Halfblood", RDFS_LABEL, "Camp Halfblood", True),
+    ("http://example.org/instance#Camp_Halfblood", RDF_TYPE, ONT + "Place", False),
+    (
+        "http://example.org/instance#Percy_Jackson",
+        ONT + "livesIn",
+        "http://example.org/instance#Camp_Halfblood",
+        False,
+    ),
+]
+
+
+def smoke_kb() -> KBBundle:
+    t = pa.table(
+        {
+            "s": pa.array([r[0] for r in SMOKE_TRIPLES]),
+            "p": pa.array([r[1] for r in SMOKE_TRIPLES]),
+            "o": pa.array([r[2] for r in SMOKE_TRIPLES]),
+            "o_is_literal": pa.array([r[3] for r in SMOKE_TRIPLES]),
+        }
+    )
+    return build_kb_from_triples(t)
+
+
+def smoke_docs() -> pa.Table:
+    rows = [
+        {
+            "doc_id": "smoke-1",
+            "spans": [
+                {"kind": "text", "text": "Percy Jackson", "media_ref": "", "offset": 0},
+                {
+                    "kind": "image",
+                    "text": "",
+                    "media_ref": "media://img/smoke-1",
+                    "offset": 13,
+                },
+                {
+                    "kind": "text",
+                    "text": " lives in Camp Halfblood.",
+                    "media_ref": "",
+                    "offset": 13,
+                },
+            ],
+        },
+        {
+            "doc_id": "smoke-2",
+            "spans": [
+                {
+                    "kind": "text",
+                    "text": "Nobody mentioned here.",
+                    "media_ref": "",
+                    "offset": 0,
+                }
+            ],
+        },
+    ]
+    return pa.Table.from_pylist(rows, schema=DOC_SCHEMA)

@@ -1,0 +1,84 @@
+"""End-to-end pipeline tests over Ray Data — the golden triple-set gate.
+
+FIXTURES.md §4: the Percy Jackson smoke corpus must produce exactly
+2 recognized label triples + 2 recognized rdf:type triples + 1 known
+livesIn triple + 1 predicted livesIn triple; P/R vs the expected set must
+be ≥ 0.95 (here: exactly 1.0).  Also asserts the per-row span-sequence
+invariant: spans flow through annotation untouched."""
+
+import pyarrow as pa
+import pytest
+
+from scoobie_ray.kb.bundle import RDF_TYPE
+from scoobie_ray.pipelines.canonicalize import canonicalize
+from scoobie_ray.pipelines.extract import annotate_docs, extract_triples
+from scoobie_ray.sources.fixtures import smoke_docs, smoke_kb
+
+ONT = "http://example.org/ont/"
+INS = "http://example.org/instance#"
+LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+
+EXPECTED = {
+    (INS + "Percy_Jackson", LABEL, "Percy Jackson", "recognized"),
+    (INS + "Camp_Halfblood", LABEL, "Camp Halfblood", "recognized"),
+    (INS + "Percy_Jackson", RDF_TYPE, ONT + "Person", "recognized"),
+    (INS + "Camp_Halfblood", RDF_TYPE, ONT + "Place", "recognized"),
+    (INS + "Percy_Jackson", ONT + "livesIn", INS + "Camp_Halfblood", "known"),
+    (INS + "Percy_Jackson", ONT + "livesIn", INS + "Camp_Halfblood", "predicted"),
+}
+
+
+@pytest.fixture()
+def smoke_ds(ray_session):
+    import ray.data
+
+    return ray.data.from_arrow(smoke_docs())
+
+
+def test_extract_triples_golden(smoke_ds):
+    out = extract_triples(smoke_ds, smoke_kb(), concurrency=1).take_all()
+    got = {(r["subj"], r["pred"], r["obj"], r["graph"]) for r in out}
+    tp = len(got & EXPECTED)
+    precision = tp / len(got)
+    recall = tp / len(EXPECTED)
+    assert precision >= 0.95 and recall >= 0.95
+    assert got == EXPECTED
+
+
+def test_canonicalize_dedups(smoke_ds):
+    triples = extract_triples(smoke_ds.union(smoke_ds), smoke_kb(), concurrency=1)
+    canon = canonicalize(triples).take_all()
+    keys = [(r["subj"], r["pred"], r["obj"], r["graph"]) for r in canon]
+    assert sorted(keys) == sorted(EXPECTED)
+    # the duplicated corpus contributed 2 docs per triple
+    assert all(r["n_docs"] == 2 for r in canon)
+
+
+def test_span_sequence_invariant(smoke_ds):
+    annotated = annotate_docs(smoke_ds, smoke_kb(), concurrency=1)
+    rows = {r["doc_id"]: r["spans"] for r in annotated.take_all()}
+    orig = {r["doc_id"]: r["spans"] for r in smoke_ds.take_all()}
+    assert rows.keys() == orig.keys()
+    for doc_id in orig:
+        got = [(s["kind"], s["text"], s["media_ref"]) for s in rows[doc_id]]
+        exp = [(s["kind"], s["text"], s["media_ref"]) for s in orig[doc_id]]
+        assert got == exp
+
+
+def test_kg_corpus_sf0001(ray_session):
+    """The TPC-H-derived corpus end-to-end: every doc resolves its subject
+    entity, canonical triples are distinct."""
+    import ray.data
+
+    from scoobie_ray.sources.fixtures import kg_docs_table, kg_kb
+
+    sf = "/root/testdata/sf0.001"
+    docs = ray.data.from_arrow(kg_docs_table(sf))
+    kb = kg_kb(sf)
+    canon = canonicalize(extract_triples(docs, kb, concurrency=2)).take_all()
+    keys = [(r["subj"], r["pred"], r["obj"], r["graph"]) for r in canon]
+    assert len(keys) == len(set(keys))
+    recognized = [k for k in keys if k[3] == "recognized"]
+    # every nation (25) + region (5) + supplier (10) + customer (150) gets a
+    # label triple; customers also get alias label triples for resolved aliases
+    assert len(recognized) > 190

@@ -1,0 +1,123 @@
+"""KB parsing / dictionary / statistics unit tests.
+
+Mirrors the reference's self-contained KB layer tests
+(TestHsqlKB.java / TestPostgresKB.java:56-183: dictionary round-trips,
+types-for-instances, outgoing/incoming adjacency invariants)."""
+
+import pyarrow as pa
+
+from scoobie_ray.kb.build import build_kb_from_triples
+from scoobie_ray.kb.bundle import RDF_TYPE, RDFS_LABEL, KBIndex
+from scoobie_ray.kb.parser import (
+    clean_literal,
+    clean_triples,
+    parse_ntriples_lines,
+    repair_uri,
+)
+from scoobie_ray.sources.fixtures import smoke_kb
+
+
+def test_clean_literal_filters():
+    # RDFTripleParser.java:228-234: strip [\n\t\\"], length in [2,100]
+    assert clean_literal('a\tb"c\n') == "abc"
+    assert clean_literal("x") is None  # too short after cleaning
+    assert clean_literal("a" * 101) is None
+    assert clean_literal("ok") == "ok"
+
+
+def test_repair_uri():
+    # RDFTripleParser.java:205-213 (length) and :256-273 (bad chars)
+    assert repair_uri("http://x/" + "a" * 120) is None
+    assert repair_uri("http://x/a b") == "http://x/a%20b"
+    assert repair_uri("http://x/ok") == "http://x/ok"
+
+
+def test_parse_ntriples():
+    t = parse_ntriples_lines(
+        [
+            '<http://a> <http://p> <http://b> .',
+            '<http://a> <http://l> "lit \\"q\\"" .',
+            "# comment",
+            "garbage line",
+        ]
+    )
+    assert t.num_rows == 2
+    assert t["o_is_literal"].to_pylist() == [False, True]
+    assert t["o"].to_pylist()[1] == 'lit "q"'
+
+
+def test_clean_triples_drops_bad_rows():
+    t = pa.table(
+        {
+            "s": ["http://a", "http://" + "x" * 130, "http://c"],
+            "p": ["http://p", "http://p", "http://p"],
+            "o": ["ok literal", "http://b", "z"],
+            "o_is_literal": [True, False, True],
+        }
+    )
+    out = clean_triples(t)
+    # row 2 dropped (over-long subject URI), row 3 dropped (literal too short)
+    assert out.num_rows == 1
+    assert out["s"].to_pylist() == ["http://a"]
+
+
+def test_dictionary_is_rank_of_sorted_uri():
+    kb = smoke_kb()
+    uris = kb.resources["uri"].to_pylist()
+    assert uris == sorted(uris)
+    assert kb.resources["index"].to_pylist() == list(range(len(uris)))
+    lits = kb.literals["literal"].to_pylist()
+    assert lits == sorted(lits)
+
+
+def test_index_roundtrips_and_adjacency():
+    kb = KBIndex(smoke_kb())
+    pj = kb.uri_index("http://example.org/instance#Percy_Jackson")
+    camp = kb.uri_index("http://example.org/instance#Camp_Halfblood")
+    assert kb.uri(pj).endswith("Percy_Jackson")
+    li = kb.literal_index("Percy Jackson")
+    preds, subs = kb.candidates_for_literal(li)
+    assert subs.tolist() == [pj]
+    assert kb.uri(preds.tolist()[0]) == RDFS_LABEL
+    # outgoing of Percy includes livesIn -> Camp plus rdf:type
+    p_out, o_out = kb.outgoing(pj)
+    assert camp in o_out.tolist()
+    # incoming of Camp includes Percy
+    _, inc = kb.incoming(camp)
+    assert pj in inc.tolist()
+    # types
+    person = kb.uri_index("http://example.org/ont/Person")
+    assert kb.types_of(pj).tolist() == [person]
+
+
+def test_markov_chain_probability():
+    kb = KBIndex(smoke_kb())
+    person = kb.uri_index("http://example.org/ont/Person")
+    place = kb.uri_index("http://example.org/ont/Place")
+    lives = kb.uri_index("http://example.org/ont/livesIn")
+    top = kb.markov_top(person, place, k=1)
+    assert top == [(lives, 1.0)]
+    assert kb.markov_top(place, person) == []
+
+
+def test_cardinalities():
+    kb = smoke_kb()
+    card = kb.cardinalities.to_pylist()
+    by_pred = {r["predicate"]: r for r in card}
+    idx = KBIndex(kb)
+    lives = idx.uri_index("http://example.org/ont/livesIn")
+    assert by_pred[lives]["n_triples"] == 1
+    assert by_pred[lives]["avg_out"] == 1.0
+
+
+def test_build_from_parsed_ntriples_end_to_end():
+    lines = [
+        '<http://e/a> <%s> "Alpha Beta" .' % RDFS_LABEL,
+        "<http://e/a> <%s> <http://e/T> ." % RDF_TYPE,
+        "<http://e/a> <http://e/rel> <http://e/b> .",
+        '<http://e/b> <%s> "Gamma" .' % RDFS_LABEL,
+    ]
+    kb = build_kb_from_triples(clean_triples(parse_ntriples_lines(lines)))
+    assert len(kb.symbols) == 2
+    assert len(kb.relations) == 2
+    assert len(kb.types) == 1

@@ -1,0 +1,101 @@
+"""Entity linking + graph disambiguation semantics tests.
+
+Mirrors the reference's disambiguation suites: ambiguous labels shared by
+several KB subjects must resolve to the candidate best connected to the
+other entities mentioned in the same document
+(EntityDisambiguation.java:101-152, DegreeBasedResolver.java:41-79)."""
+
+import pyarrow as pa
+
+from scoobie_ray.kb.build import build_kb_from_triples
+from scoobie_ray.kb.bundle import RDF_TYPE, RDFS_LABEL, KBIndex
+from scoobie_ray.pipelines.extract import ExtractActor
+from scoobie_ray.sources.docs import DOC_SCHEMA
+from scoobie_ray.stages.disambiguate import Disambiguator
+from scoobie_ray.stages.link import Linker
+from scoobie_ray.stages.spot import Spotter
+
+ONT = "http://example.org/ont/"
+
+
+def _ambig_kb():
+    """Two people named 'Smith'; one livesIn Berlin, one livesIn Paris."""
+    rows = [
+        ("http://e/p1", RDFS_LABEL, "Smith", True),
+        ("http://e/p2", RDFS_LABEL, "Smith", True),
+        ("http://e/p1", RDF_TYPE, ONT + "Person", False),
+        ("http://e/p2", RDF_TYPE, ONT + "Person", False),
+        ("http://e/berlin", RDFS_LABEL, "Berlin", True),
+        ("http://e/paris", RDFS_LABEL, "Paris", True),
+        ("http://e/berlin", RDF_TYPE, ONT + "City", False),
+        ("http://e/paris", RDF_TYPE, ONT + "City", False),
+        ("http://e/p1", ONT + "livesIn", "http://e/berlin", False),
+        ("http://e/p2", ONT + "livesIn", "http://e/paris", False),
+    ]
+    t = pa.table(
+        {
+            "s": [r[0] for r in rows],
+            "p": [r[1] for r in rows],
+            "o": [r[2] for r in rows],
+            "o_is_literal": [r[3] for r in rows],
+        }
+    )
+    return KBIndex(build_kb_from_triples(t))
+
+
+def _docs(texts):
+    return pa.Table.from_pylist(
+        [
+            {
+                "doc_id": f"d{i}",
+                "spans": [{"kind": "text", "text": t, "media_ref": "", "offset": 0}],
+            }
+            for i, t in enumerate(texts)
+        ],
+        schema=DOC_SCHEMA,
+    )
+
+
+def test_linker_candidates():
+    kb = _ambig_kb()
+    batch = Linker(kb)(Spotter(kb)(_docs(["Smith lives somewhere."])))
+    subs = batch["cand_subj"].to_pylist()[0]
+    assert {kb.uri(s) for s in subs} == {"http://e/p1", "http://e/p2"}
+
+
+def test_disambiguation_picks_connected_candidate():
+    kb = _ambig_kb()
+    chain = lambda t: Disambiguator(kb)(Linker(kb)(Spotter(kb)(t)))
+    batch = chain(_docs(["Smith lives in Paris.", "Smith lives in Berlin."]))
+    resolved = [
+        {kb.uri(s) for s in row} for row in batch["resolved_subj"].to_pylist()
+    ]
+    assert resolved[0] == {"http://e/p2", "http://e/paris"}
+    assert resolved[1] == {"http://e/p1", "http://e/berlin"}
+
+
+def test_disambiguation_tiebreak_is_smallest_uri():
+    kb = _ambig_kb()
+    chain = lambda t: Disambiguator(kb)(Linker(kb)(Spotter(kb)(t)))
+    # no disambiguating context -> both candidates tie -> min subject index
+    batch = chain(_docs(["Smith."]))
+    resolved = {kb.uri(s) for s in batch["resolved_subj"].to_pylist()[0]}
+    assert resolved == {"http://e/p1"}  # 'p1' < 'p2' lexicographically
+
+
+def test_all_resolvers_run():
+    kb = _ambig_kb()
+    for name in ["degree", "capacity", "hits", "hits2", "hub", "authority", "pagerank", "random"]:
+        chain = Disambiguator(kb, resolver=name)(
+            Linker(kb)(Spotter(kb)(_docs(["Smith lives in Paris."])))
+        )
+        assert len(chain["resolved_subj"].to_pylist()[0]) == 2
+
+
+def test_fused_actor_matches_stagewise_chain():
+    kb = _ambig_kb()
+    docs = _docs(["Smith lives in Paris.", "Berlin and Paris."])
+    fused = ExtractActor(kb, emit="annotations").annotate(docs)
+    stagewise = Disambiguator(kb)(Linker(kb)(Spotter(kb)(docs)))
+    for col in ["mention_start", "cand_subj", "resolved_subj"]:
+        assert fused[col].to_pylist() == stagewise[col].to_pylist()
