@@ -1,0 +1,390 @@
+"""DuckDB oracle SQL for the driver's correctness gate.
+
+Each entry is an independent ANSI-SQL re-derivation of a Ray pipeline's
+output over the same parquet tables (pre-registered views: region nation
+customer supplier part orders lineitem events documents embeddings).
+
+The KG fixtures (scoobie_ray.sources.fixtures) are pure relational
+derivations of the TPC-H tables, so the *whole KG pipeline* — spotting,
+candidate linking, graph disambiguation, known facts, markov prediction,
+canonical triples, span layout — is expressible here.  The two sides share
+only the derivation spec (module doc of fixtures.py), not code.
+
+Column names match the Ray queries exactly (the driver hashes values under
+sorted column names).  Outputs avoid floats except where exactly
+representable.
+"""
+
+# ---- shared CTE fragments (KG corpus derivation) --------------------------
+
+DOCPARTS = """
+docparts AS (
+  SELECT 'doc-nation-' || n_nationkey AS doc_id, n_nationkey AS key,
+         n_name AS label, ' is a nation in ' || r_name || '.' AS rest
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION ALL
+  SELECT 'doc-supplier-' || s_suppkey, s_suppkey, s_name,
+         ' operates in ' || n_name || '.'
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  UNION ALL
+  SELECT 'doc-customer-' || c_custkey, c_custkey, c_name,
+         ' is based in ' || n_name || '.'
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT 'doc-alias-' || c_custkey, c_custkey, 'Holder_' || (c_custkey % 50),
+         ' is based in ' || n_name || '.'
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)"""
+
+DOCS = "docs AS (SELECT doc_id, label || rest AS text FROM docparts)"
+
+LABELS = """
+labels AS (
+  SELECT n_name AS label, 'http://example.org/nation/' || n_nationkey AS uri,
+         'http://example.org/ont/Nation' AS cls FROM nation
+  UNION ALL
+  SELECT r_name, 'http://example.org/region/' || r_regionkey,
+         'http://example.org/ont/Region' FROM region
+  UNION ALL
+  SELECT s_name, 'http://example.org/supplier/' || s_suppkey,
+         'http://example.org/ont/Supplier' FROM supplier
+  UNION ALL
+  SELECT c_name, 'http://example.org/customer/' || c_custkey,
+         'http://example.org/ont/Customer' FROM customer
+  UNION ALL
+  SELECT 'Holder_' || (c_custkey % 50), 'http://example.org/customer/' || c_custkey,
+         'http://example.org/ont/Customer' FROM customer
+)"""
+
+# every KB literal occurrence in a doc text at a word boundary
+MENTIONS = """
+mentions AS (
+  SELECT DISTINCT d.doc_id,
+         strpos(d.text, l.label) - 1 AS m_start,
+         strpos(d.text, l.label) - 1 + length(l.label) AS m_end,
+         l.label AS literal
+  FROM docs d CROSS JOIN (SELECT DISTINCT label FROM labels) l
+  WHERE strpos(d.text, l.label) > 0
+    AND (strpos(d.text, l.label) = 1
+         OR NOT regexp_matches(substr(d.text, strpos(d.text, l.label) - 1, 1),
+                               '[A-Za-z0-9_]'))
+    AND (strpos(d.text, l.label) + length(l.label) > length(d.text)
+         OR NOT regexp_matches(
+               substr(d.text, strpos(d.text, l.label) + length(l.label), 1),
+               '[A-Za-z0-9_]'))
+)"""
+
+# longest-match filter: drop spans strictly contained in another match
+SPOT = """
+spot AS (
+  SELECT * FROM mentions m
+  WHERE NOT EXISTS (
+    SELECT 1 FROM mentions o
+    WHERE o.doc_id = m.doc_id
+      AND o.m_start <= m.m_start AND o.m_end >= m.m_end
+      AND (o.m_start <> m.m_start OR o.m_end <> m.m_end))
+)"""
+
+# post-disambiguation resolved (doc_id, subj): ambiguity only in alias docs;
+# degree voting keeps the candidate sharing the doc's nation, ties -> min uri
+RESOLVED = """
+resolved AS (
+  SELECT 'doc-nation-' || n_nationkey AS doc_id,
+         'http://example.org/nation/' || n_nationkey AS subj FROM nation
+  UNION
+  SELECT 'doc-nation-' || n_nationkey,
+         'http://example.org/region/' || n_regionkey FROM nation
+  UNION
+  SELECT 'doc-supplier-' || s_suppkey,
+         'http://example.org/supplier/' || s_suppkey FROM supplier
+  UNION
+  SELECT 'doc-supplier-' || s_suppkey,
+         'http://example.org/nation/' || s_nationkey FROM supplier
+  UNION
+  SELECT 'doc-customer-' || c_custkey,
+         'http://example.org/customer/' || c_custkey FROM customer
+  UNION
+  SELECT 'doc-customer-' || c_custkey,
+         'http://example.org/nation/' || c_nationkey FROM customer
+  UNION
+  SELECT 'doc-alias-' || c_custkey,
+         'http://example.org/nation/' || c_nationkey FROM customer
+  UNION
+  SELECT 'doc-alias-' || c.c_custkey,
+         (SELECT min('http://example.org/customer/' || c2.c_custkey)
+          FROM customer c2
+          WHERE c2.c_custkey % 50 = c.c_custkey % 50
+            AND c2.c_nationkey = c.c_nationkey)
+  FROM customer c
+)"""
+
+# outgoing KB object-property edges per subject kind
+SUBJ_EDGES = """
+subj_edges AS (
+  SELECT 'http://example.org/nation/' || n_nationkey AS subj,
+         'http://example.org/ont/locatedIn' AS pred,
+         'http://example.org/region/' || n_regionkey AS obj FROM nation
+  UNION ALL
+  SELECT 'http://example.org/supplier/' || s_suppkey,
+         'http://example.org/ont/operatesIn',
+         'http://example.org/nation/' || s_nationkey FROM supplier
+  UNION ALL
+  SELECT 'http://example.org/customer/' || c_custkey,
+         'http://example.org/ont/basedIn',
+         'http://example.org/nation/' || c_nationkey FROM customer
+)"""
+
+SUBJ_TYPES = """
+subj_types AS (
+  SELECT DISTINCT uri, cls FROM labels
+)"""
+
+MARKOV = """
+markov AS (
+  SELECT * FROM (VALUES
+    ('http://example.org/ont/Nation', 'http://example.org/ont/locatedIn',
+     'http://example.org/ont/Region'),
+    ('http://example.org/ont/Supplier', 'http://example.org/ont/operatesIn',
+     'http://example.org/ont/Nation'),
+    ('http://example.org/ont/Customer', 'http://example.org/ont/basedIn',
+     'http://example.org/ont/Nation')) AS t(cs, pred, co)
+)"""
+
+_KG_PREFIX = f"WITH {DOCPARTS}, {DOCS}, {LABELS}"
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["kg_spot"] = (
+    f"{_KG_PREFIX}, {MENTIONS}, {SPOT} "
+    "SELECT doc_id, CAST(m_start AS BIGINT) AS m_start, "
+    "CAST(m_end AS BIGINT) AS m_end, literal FROM spot"
+)
+
+ORACLES["kg_candidates"] = (
+    f"{_KG_PREFIX}, {MENTIONS}, {SPOT} "
+    "SELECT DISTINCT s.doc_id, l.uri AS subj "
+    "FROM spot s JOIN labels l ON l.label = s.literal"
+)
+
+ORACLES["kg_resolved"] = (
+    f"{_KG_PREFIX}, {RESOLVED} SELECT DISTINCT doc_id, subj FROM resolved"
+)
+
+ORACLES["kg_known"] = (
+    f"{_KG_PREFIX}, {RESOLVED}, {SUBJ_EDGES} "
+    "SELECT DISTINCT r.doc_id, e.subj, e.pred, e.obj "
+    "FROM resolved r JOIN subj_edges e ON e.subj = r.subj"
+)
+
+ORACLES["kg_predicted"] = (
+    f"{_KG_PREFIX}, {RESOLVED}, {SUBJ_TYPES}, {MARKOV} "
+    "SELECT DISTINCT a.doc_id, a.subj, m.pred, b.subj AS obj "
+    "FROM resolved a JOIN resolved b ON a.doc_id = b.doc_id AND a.subj <> b.subj "
+    "JOIN subj_types ta ON ta.uri = a.subj "
+    "JOIN subj_types tb ON tb.uri = b.subj "
+    "JOIN markov m ON m.cs = ta.cls AND m.co = tb.cls"
+)
+
+ORACLES["kg_triples"] = (
+    f"{_KG_PREFIX}, {RESOLVED}, {SUBJ_EDGES}, {SUBJ_TYPES}, {MARKOV}, {MENTIONS}, {SPOT} "
+    """
+, recog_labels AS (
+  SELECT DISTINCT r.subj,
+         'http://www.w3.org/2000/01/rdf-schema#label' AS pred,
+         s.literal AS obj, 'recognized' AS graph
+  FROM resolved r
+  JOIN spot s ON s.doc_id = r.doc_id
+  JOIN labels l ON l.label = s.literal AND l.uri = r.subj
+), recog_types AS (
+  SELECT DISTINCT r.subj,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+         t.cls AS obj, 'recognized' AS graph
+  FROM (SELECT DISTINCT subj FROM resolved) r
+  JOIN subj_types t ON t.uri = r.subj
+), known AS (
+  SELECT DISTINCT e.subj, e.pred, e.obj, 'known' AS graph
+  FROM (SELECT DISTINCT subj FROM resolved) r
+  JOIN subj_edges e ON e.subj = r.subj
+), predicted AS (
+  SELECT DISTINCT a.subj, m.pred, b.subj AS obj, 'predicted' AS graph
+  FROM resolved a JOIN resolved b ON a.doc_id = b.doc_id AND a.subj <> b.subj
+  JOIN subj_types ta ON ta.uri = a.subj
+  JOIN subj_types tb ON tb.uri = b.subj
+  JOIN markov m ON m.cs = ta.cls AND m.co = tb.cls
+)
+SELECT subj, pred, obj, graph FROM recog_labels
+UNION SELECT subj, pred, obj, graph FROM recog_types
+UNION SELECT subj, pred, obj, graph FROM known
+UNION SELECT subj, pred, obj, graph FROM predicted
+"""
+)
+
+ORACLES["kg_spans"] = (
+    f"{_KG_PREFIX} "
+    """
+SELECT doc_id, CAST(0 AS BIGINT) AS span_idx, 'text' AS kind, label AS text,
+       '' AS media_ref, CAST(0 AS BIGINT) AS span_offset
+FROM docparts
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT), 'image', '', 'media://img/' || doc_id,
+       CAST(length(label) AS BIGINT)
+FROM docparts WHERE key % 3 = 0
+UNION ALL
+SELECT doc_id, CAST(CASE WHEN key % 3 = 0 THEN 2 ELSE 1 END AS BIGINT),
+       'text', rest, '', CAST(length(label) AS BIGINT)
+FROM docparts
+UNION ALL
+SELECT doc_id, CAST(2 AS BIGINT), 'audio', '', 'media://aud/' || doc_id,
+       CAST(length(label) + length(rest) AS BIGINT)
+FROM docparts WHERE key % 3 = 1
+"""
+)
+
+ORACLES["kb_resources"] = (
+    f"WITH {LABELS}, uris AS ("
+    "  SELECT DISTINCT uri FROM labels"
+    "  UNION SELECT DISTINCT cls FROM labels"
+    "  UNION SELECT * FROM (VALUES"
+    "    ('http://www.w3.org/1999/02/22-rdf-syntax-ns#type'),"
+    "    ('http://www.w3.org/2000/01/rdf-schema#label'),"
+    "    ('http://example.org/ont/locatedIn'),"
+    "    ('http://example.org/ont/operatesIn'),"
+    "    ('http://example.org/ont/basedIn')) AS v(uri)"
+    ") SELECT CAST(row_number() OVER (ORDER BY uri) - 1 AS BIGINT) AS idx, uri FROM uris"
+)
+
+ORACLES["kb_cardinalities"] = """
+WITH rel AS (
+  SELECT 'http://example.org/ont/locatedIn' AS pred,
+         'http://example.org/nation/' || n_nationkey AS s,
+         'http://example.org/region/' || n_regionkey AS o FROM nation
+  UNION ALL
+  SELECT 'http://example.org/ont/operatesIn',
+         'http://example.org/supplier/' || s_suppkey,
+         'http://example.org/nation/' || s_nationkey FROM supplier
+  UNION ALL
+  SELECT 'http://example.org/ont/basedIn',
+         'http://example.org/customer/' || c_custkey,
+         'http://example.org/nation/' || c_nationkey FROM customer
+  UNION ALL
+  SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', u.uri, u.cls
+  FROM (
+    SELECT 'http://example.org/nation/' || n_nationkey AS uri,
+           'http://example.org/ont/Nation' AS cls FROM nation
+    UNION ALL SELECT 'http://example.org/region/' || r_regionkey,
+           'http://example.org/ont/Region' FROM region
+    UNION ALL SELECT 'http://example.org/supplier/' || s_suppkey,
+           'http://example.org/ont/Supplier' FROM supplier
+    UNION ALL SELECT 'http://example.org/customer/' || c_custkey,
+           'http://example.org/ont/Customer' FROM customer
+  ) u
+)
+SELECT pred AS predicate, count(*) AS n_triples,
+       count(DISTINCT s) AS n_subjects, count(DISTINCT o) AS n_objects
+FROM rel GROUP BY pred
+"""
+
+ORACLES["kb_markov"] = """
+SELECT * FROM (VALUES
+  ('http://example.org/ont/Nation', 'http://example.org/ont/locatedIn',
+   'http://example.org/ont/Region', 1.0),
+  ('http://example.org/ont/Supplier', 'http://example.org/ont/operatesIn',
+   'http://example.org/ont/Nation', 1.0),
+  ('http://example.org/ont/Customer', 'http://example.org/ont/basedIn',
+   'http://example.org/ont/Nation', 1.0)
+) AS t(cluster_s, predicate, cluster_o, prob)
+"""
+
+# ---- training-data ops ----------------------------------------------------
+
+_NORM = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+ORACLES["dedup_exact"] = f"""
+SELECT doc_id FROM documents
+QUALIFY row_number() OVER (PARTITION BY {_NORM} ORDER BY doc_id) = 1
+"""
+
+ORACLES["fingerprint"] = f"""
+SELECT doc_id, {_NORM} AS fingerprint FROM documents
+"""
+
+ORACLES["text_stats"] = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
+FROM documents
+"""
+
+ORACLES["knn_bruteforce"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS score
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) - 1 AS rank
+  FROM scored) WHERE rank < 5
+"""
+
+# ---- relational -----------------------------------------------------------
+
+ORACLES["q1_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["nation_lineitem_counts"] = """
+SELECT n_name, count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+ORACLES["events_hourly"] = """
+SELECT user_id,
+       (epoch_us(ts) // 3600000000) * 3600 AS hour_start,
+       count(*) AS n_events
+FROM events GROUP BY user_id, hour_start
+"""
+
+ORACLES["events_sessionize"] = """
+WITH e AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN prev IS NULL
+                      OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM e GROUP BY user_id
+"""
+
+ORACLES["top_parts"] = """
+SELECT l_partkey, count(*) AS n_li
+FROM lineitem GROUP BY l_partkey
+ORDER BY n_li DESC, l_partkey LIMIT 10
+"""
+
+ORACLES["orders_by_status"] = """
+SELECT o_orderstatus, count(*) AS n_orders FROM orders GROUP BY o_orderstatus
+"""
+
+ORACLES["supplier_nation_join"] = """
+SELECT r_name, count(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""

@@ -1,0 +1,221 @@
+"""Flat, oracle-comparable views over the KG pipeline stages.
+
+Each function takes ``sf_dir`` and returns a Ray Dataset (or small Arrow
+table) whose columns exactly match the corresponding entry in
+``scoobie_ray.oracle.ORACLES`` — the driver hashes both sides.
+
+The doc corpus / KB here are the deterministic TPC-H derivations of
+``sources.fixtures``; the pipeline machinery they drive is the production
+one (broadcast KB bundle, actor-pool stages, streaming batches).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..kb.bundle import KBBundle
+from ..sources.docs import flatten_spans_table
+from ..sources.fixtures import kg_docs_table, kg_kb
+from ..stages.link import Linker
+from ..stages.spot import Spotter
+from .extract import annotate_docs, extract_triples
+from .canonicalize import canonicalize
+
+
+def _docs_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.from_arrow(kg_docs_table(sf_dir))
+
+
+def _kb_and_ref(sf_dir: str):
+    import ray
+
+    kb = kg_kb(sf_dir)
+    return kb, ray.put(kb.tables())
+
+
+def kg_spot(sf_dir: str):
+    kb, kb_ref = _kb_and_ref(sf_dir)
+    lits = kb.literals["literal"].to_pylist()
+
+    spotted = _docs_ds(sf_dir).map_batches(
+        Spotter,
+        fn_constructor_kwargs={"kb": kb_ref},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        d, s_, e_, l_ = [], [], [], []
+        for doc_id, ss, es, ls in zip(
+            t["doc_id"].to_pylist(),
+            t["mention_start"].to_pylist(),
+            t["mention_end"].to_pylist(),
+            t["mention_literal"].to_pylist(),
+        ):
+            for s, e, li in zip(ss, es, ls):
+                d.append(doc_id)
+                s_.append(s)
+                e_.append(e)
+                l_.append(lits[li])
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.string()),
+                "m_start": pa.array(s_, pa.int64()),
+                "m_end": pa.array(e_, pa.int64()),
+                "literal": pa.array(l_, pa.string()),
+            }
+        )
+
+    return spotted.map_batches(explode, batch_format="pyarrow")
+
+
+def kg_candidates(sf_dir: str):
+    kb, kb_ref = _kb_and_ref(sf_dir)
+    uris = kb.resources["uri"].to_pylist()
+
+    ds = _docs_ds(sf_dir).map_batches(
+        Spotter, fn_constructor_kwargs={"kb": kb_ref}, batch_format="pyarrow",
+        concurrency=2,
+    ).map_batches(
+        Linker, fn_constructor_kwargs={"kb": kb_ref}, batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        d, s_ = [], []
+        for doc_id, subs in zip(
+            t["doc_id"].to_pylist(), t["cand_subj"].to_pylist()
+        ):
+            for s in sorted(set(subs)):
+                d.append(doc_id)
+                s_.append(uris[s])
+        return pa.table(
+            {"doc_id": pa.array(d, pa.string()), "subj": pa.array(s_, pa.string())}
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _annotated(sf_dir: str):
+    kb, kb_ref = _kb_and_ref(sf_dir)
+    return annotate_docs(_docs_ds(sf_dir), kb_ref, concurrency=2), kb
+
+
+def kg_resolved(sf_dir: str):
+    ds, kb = _annotated(sf_dir)
+    uris = kb.resources["uri"].to_pylist()
+
+    def explode(t: pa.Table) -> pa.Table:
+        d, s_ = [], []
+        for doc_id, subs in zip(
+            t["doc_id"].to_pylist(), t["resolved_subj"].to_pylist()
+        ):
+            for s in sorted(set(subs)):
+                d.append(doc_id)
+                s_.append(uris[s])
+        return pa.table(
+            {"doc_id": pa.array(d, pa.string()), "subj": pa.array(s_, pa.string())}
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _explode_triple_lists(ds, uris, s_col, p_col, o_col):
+    def explode(t: pa.Table) -> pa.Table:
+        d, s_, p_, o_ = [], [], [], []
+        for doc_id, ss, ps, os_ in zip(
+            t["doc_id"].to_pylist(),
+            t[s_col].to_pylist(),
+            t[p_col].to_pylist(),
+            t[o_col].to_pylist(),
+        ):
+            for s, p, o in zip(ss, ps, os_):
+                d.append(doc_id)
+                s_.append(uris[s])
+                p_.append(uris[p])
+                o_.append(uris[o])
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.string()),
+                "subj": pa.array(s_, pa.string()),
+                "pred": pa.array(p_, pa.string()),
+                "obj": pa.array(o_, pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def kg_known(sf_dir: str):
+    ds, kb = _annotated(sf_dir)
+    uris = kb.resources["uri"].to_pylist()
+    return _explode_triple_lists(ds, uris, "known_s", "known_p", "known_o")
+
+
+def kg_predicted(sf_dir: str):
+    ds, kb = _annotated(sf_dir)
+    uris = kb.resources["uri"].to_pylist()
+    return _explode_triple_lists(ds, uris, "pred_s", "pred_p", "pred_o")
+
+
+def kg_triples(sf_dir: str, concurrency=2):
+    kb, kb_ref = _kb_and_ref(sf_dir)
+    triples = extract_triples(_docs_ds(sf_dir), kb_ref, concurrency=concurrency)
+    canon = canonicalize(triples)
+    return canon.drop_columns(["belief", "n_docs"])
+
+
+def kg_spans(sf_dir: str):
+    """Spans of the *pipeline output* rows — proves the per-row
+    span-sequence invariant end-to-end, flattened for hashing."""
+    ds, _kb = _annotated(sf_dir)
+
+    def flat(t: pa.Table) -> pa.Table:
+        out = flatten_spans_table(t)
+        return out.rename_columns(
+            ["doc_id", "span_idx", "kind", "text", "media_ref", "span_offset"]
+        )
+
+    return ds.select_columns(["doc_id", "spans"]).map_batches(
+        flat, batch_format="pyarrow"
+    )
+
+
+def kb_resources(sf_dir: str) -> pa.Table:
+    kb = kg_kb(sf_dir)
+    return pa.table(
+        {"idx": pc.cast(kb.resources["index"], pa.int64()), "uri": kb.resources["uri"]}
+    )
+
+
+def kb_cardinalities(sf_dir: str) -> pa.Table:
+    kb = kg_kb(sf_dir)
+    uris = kb.resources["uri"].to_pylist()
+    card = kb.cardinalities
+    return pa.table(
+        {
+            "predicate": pa.array(
+                [uris[p] for p in card["predicate"].to_pylist()], pa.string()
+            ),
+            "n_triples": card["n_triples"],
+            "n_subjects": card["n_subjects"],
+            "n_objects": card["n_objects"],
+        }
+    )
+
+
+def kb_markov(sf_dir: str) -> pa.Table:
+    kb = kg_kb(sf_dir)
+    uris = kb.resources["uri"].to_pylist()
+    mk = kb.markov
+    return pa.table(
+        {
+            "cluster_s": pa.array([uris[c] for c in mk["cluster_s"].to_pylist()]),
+            "predicate": pa.array([uris[p] for p in mk["predicate"].to_pylist()]),
+            "cluster_o": pa.array([uris[c] for c in mk["cluster_o"].to_pylist()]),
+            "prob": mk["prob"],
+        }
+    )

@@ -1,0 +1,293 @@
+"""Relational pipelines over the TPC-H-ish test tables.
+
+These exercise the generic data-processing surface of the engine — pruned
+reads, vectorized filters, partial pre-aggregation before groupby shuffles,
+broadcast-small-side joins, hash-partitioned big-big joins, window-style
+per-key ordered aggregation, top-k — each with a DuckDB-checkable output
+(integer/string columns only, so value hashes are float-free and portable).
+
+Column-pruning rule: every read_parquet names exactly the columns the
+query touches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns: list[str]):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def q1_pricing(sf_dir: str):
+    """TPC-H Q1 shape: filtered grouped aggregate with per-batch combine.
+
+    Output: l_returnflag, l_linestatus, sum_qty:int64, n_items:int64.
+    """
+    from ray.data.aggregate import Sum
+
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        # partial (combiner) aggregation inside the batch — the shuffle then
+        # moves one row per (flag, status) per block, not per lineitem
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "part_qty", "part_n"]
+        )
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"]
+    )
+    agg = (
+        ds.map_batches(prefilter, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("part_qty", alias_name="sum_qty_f"), Sum("part_n", alias_name="n_items"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pc.cast(pc.round(t["sum_qty_f"]), pa.int64()),
+                "n_items": pc.cast(t["n_items"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def nation_lineitem_counts(sf_dir: str):
+    """Per-nation lineitem counts via lineitem⋈orders (hash-partitioned
+    Dataset.join — both sides large) then a broadcast customer→nation map
+    (small side shipped once via ray.put) and a final small groupby.
+
+    Output: n_name, n_items:int64.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    # pre-aggregate lineitem per orderkey before the join (combiner)
+    def count_per_order(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_orderkey").aggregate([("l_orderkey", "count")])
+        return g.rename_columns(["l_orderkey", "li_n"])
+
+    li_counts = (
+        li.map_batches(count_per_order, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("li_n", alias_name="li_n"))
+    )
+
+    joined = li_counts.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nname = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    cust_nation = {
+        c: nname[n]
+        for c, n in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+    cn_ref = ray.put(cust_nation)
+
+    class MapNation:
+        def __init__(self, ref):
+            self.map = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [self.map[c] for c in t["o_custkey"].to_pylist()]
+            return pa.table(
+                {"n_name": pa.array(names, pa.string()), "li_n": t["li_n"]}
+            )
+
+    per_nation = (
+        joined.map_batches(
+            MapNation,
+            fn_constructor_kwargs={"ref": cn_ref},
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .groupby("n_name")
+        .aggregate(Sum("li_n", alias_name="n_items_f"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n_name": t["n_name"], "n_items": pc.cast(t["n_items_f"], pa.int64())}
+        )
+
+    return per_nation.map_batches(finalize, batch_format="pyarrow")
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window counts per user (streaming-shaped workload as
+    an ordered-log aggregate).  Output: user_id, hour_start:int64 (epoch
+    seconds), n_events:int64."""
+    from ray.data.aggregate import Sum
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us // 3_600_000_000 * 3600  # epoch-us -> hour-start epoch-sec
+        tt = pa.table(
+            {"user_id": t["user_id"], "hour_start": pa.array(hour, pa.int64())}
+        )
+        g = tt.group_by(["user_id", "hour_start"]).aggregate([("user_id", "count")])
+        return g.rename_columns(["user_id", "hour_start", "part_n"])
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    agg = (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "hour_start"])
+        .aggregate(Sum("part_n", alias_name="n_events_f"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "hour_start": pc.cast(t["hour_start"], pa.int64()),
+                "n_events": pc.cast(t["n_events_f"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session counting: partition by user, sort by ts within the group,
+    new session when the gap exceeds ``gap_minutes`` (the groupby+map_groups
+    windowing pattern for stream-shaped data).  Output: user_id,
+    n_sessions:int64."""
+    import pandas as pd
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        n = 1 + int((np.diff(ts) > gap_us).sum()) if len(ts) else 0
+        return pd.DataFrame(
+            {"user_id": [int(g["user_id"].iloc[0])], "n_sessions": [n]}
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def top_parts(sf_dir: str, k: int = 10):
+    """Top-k parts by lineitem count (count desc, partkey asc) — the
+    pre-aggregate → small global groupby → sort/limit pattern.
+    Output: l_partkey:int64, n_li:int64."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_partkey").aggregate([("l_partkey", "count")])
+        return g.rename_columns(["l_partkey", "part_n"])
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey"])
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_partkey")
+        .aggregate(Sum("part_n", alias_name="n_li_f"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "n_li": pc.cast(t["n_li_f"], pa.int64()),
+                "neg_n": pc.multiply(pc.cast(t["n_li_f"], pa.int64()), pa.scalar(-1, pa.int64())),
+            }
+        )
+
+    return (
+        agg.map_batches(finalize, batch_format="pyarrow")
+        .sort(["neg_n", "l_partkey"])
+        .limit(k)
+        .drop_columns(["neg_n"])
+    )
+
+
+def orders_by_status(sf_dir: str):
+    """Trivial grouped count with per-batch combine.
+    Output: o_orderstatus, n_orders:int64."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderstatus").aggregate([("o_orderstatus", "count")])
+        return g.rename_columns(["o_orderstatus", "part_n"])
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus"])
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderstatus")
+        .aggregate(Sum("part_n", alias_name="n_f"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"o_orderstatus": t["o_orderstatus"], "n_orders": pc.cast(t["n_f"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def supplier_nation_join(sf_dir: str):
+    """Broadcast small-side hash join: supplier × nation × region, counted
+    per region.  Output: r_name, n_suppliers:int64."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    rname = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    n2r = {
+        n: rname[r]
+        for n, r in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+    }
+    ref = ray.put(n2r)
+
+    class ToRegion:
+        def __init__(self, ref):
+            self.map = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [self.map[n] for n in t["s_nationkey"].to_pylist()]
+            g = pa.table({"r_name": pa.array(names, pa.string())})
+            g = g.group_by("r_name").aggregate([("r_name", "count")])
+            return g.rename_columns(["r_name", "part_n"])
+
+    ds = _read(sf_dir, "supplier", ["s_nationkey"])
+    agg = (
+        ds.map_batches(
+            ToRegion,
+            fn_constructor_kwargs={"ref": ref},
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .groupby("r_name")
+        .aggregate(Sum("part_n", alias_name="n_f"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"r_name": t["r_name"], "n_suppliers": pc.cast(t["n_f"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
