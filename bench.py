@@ -1,0 +1,227 @@
+"""Benchmark harness — one JSON line per run.
+
+Headline: the flagship KG-construction pipeline end-to-end (read parquet
+docs → fused extract actor pool → two-phase canonicalize → write parquet)
+over the corpus derived from ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1), at ``num_cpus = $RAY_GRAFT_CPUS`` (default 32).
+
+``--scaling``: runs the identical job in two fresh processes at
+num_cpus=8 and num_cpus=32 on the same staged input and reports both
+throughputs + scaling efficiency (the sandbox stand-in for the N vs 4N
+node criterion; see BASELINE.md).
+
+Corpus staging (docs parquet under /tmp) and an untimed warm read are
+outside the timed window, so the measurement covers compute + shuffle,
+not generator or cold-disk time.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# replicate the derived corpus (unique doc_ids) so the timed window is
+# dominated by pipeline compute, not session/actor fixed costs; replicas
+# stress the canonicalize combiner with real cross-doc duplication
+REPLICAS = int(os.environ.get("SCOOBIE_BENCH_REPLICAS", "40"))
+STAGE_ROOT = "/tmp/scoobie_bench"
+
+
+def stage_docs(sf_dir: str) -> str:
+    """Write the derived doc corpus to parquet once (content-addressed)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from scoobie_ray.sources.fixtures import kg_bench_docs_table
+
+    key = hashlib.md5(f"{sf_dir}|{REPLICAS}|bench".encode()).hexdigest()[:10]
+    path = os.path.join(STAGE_ROOT, f"docs-{key}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(STAGE_ROOT, exist_ok=True)
+        base = kg_bench_docs_table(sf_dir)
+        reps = []
+        for r in range(REPLICAS):
+            t = base.set_column(
+                base.schema.get_field_index("doc_id"),
+                "doc_id",
+                pc.binary_join_element_wise(
+                    base["doc_id"], pa.scalar(f"r{r}"), "-"
+                ),
+            )
+            reps.append(t)
+        tmp = path + ".tmp"
+        # small row groups: parquet read tasks split at row-group
+        # granularity, so this bounds the minimum read/extract parallelism
+        pq.write_table(pa.concat_tables(reps), tmp, row_group_size=1024)
+        os.replace(tmp, path)
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+    import ray.data
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from scoobie_ray.pipelines.canonicalize import canonicalize
+    from scoobie_ray.pipelines.extract import extract_triples
+    from scoobie_ray.sources.docs import read_docs
+    from scoobie_ray.sources.fixtures import kg_kb
+
+    docs_path = stage_docs(SF_DIR)
+    with open(docs_path, "rb") as f:  # warm the page cache (untimed)
+        while f.read(1 << 22):
+            pass
+
+    kb = kg_kb(SF_DIR)
+    queries: dict[str, float] = {}
+
+    # ---- headline: end-to-end extract -> canonicalize -> materialize ----
+    out_dir = os.path.join(STAGE_ROOT, f"out-{NUM_CPUS}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # pool = half the CPUs: leaves read/combine/write stages runnable (an
+    # actor pool sized to every CPU starves the other operators — at 2
+    # CPUs it deadlocks the read entirely), and keeps the pool ratio equal
+    # to the CPU ratio between scaling levels
+    pool = max(1, NUM_CPUS // 2)
+    t0 = time.time()
+    docs = read_docs(docs_path, override_num_blocks=128)
+    canon = canonicalize(
+        extract_triples(docs, kb, concurrency=pool, batch_size=1024)
+    )
+    canon.write_parquet(out_dir)
+    headline = time.time() - t0
+    queries["kg_triples_e2e"] = round(headline, 3)
+
+    # canonical rows + emitted (pre-dedup) triple count from the n_docs sums
+    import pyarrow.parquet as pq
+
+    canonical_rows, emitted = 0, 0
+    for name in os.listdir(out_dir):
+        if name.endswith(".parquet"):
+            t = pq.read_table(os.path.join(out_dir, name), columns=["n_docs"])
+            canonical_rows += t.num_rows
+            emitted += int(
+                __import__("pyarrow.compute", fromlist=["sum"]).sum(t["n_docs"]).as_py()
+            )
+
+    if os.environ.get("SCOOBIE_BENCH_HEADLINE_ONLY"):
+        ray.shutdown()
+        return {
+            "metric": "kg end-to-end wall sec (extract→link→canonicalize→materialize)",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "replicas": REPLICAS,
+            "canonical_triples": canonical_rows,
+            "emitted_triples": emitted,
+            "triples_per_sec": round(emitted / headline, 1),
+        }
+
+    # ---- secondary pipelines ----
+    from scoobie_ray.ops.dedup import minhash_dedup
+    from scoobie_ray.ops.text import TextStats
+    from scoobie_ray.relational.queries import events_hourly, q1_pricing
+
+    t0 = time.time()
+    ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(TextStats, batch_format="pyarrow", concurrency=4).count()
+    queries["text_stats"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    minhash_dedup(
+        ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+    ).count()
+    queries["dedup_minhash"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    q1_pricing(SF_DIR).to_pandas()
+    queries["q1_pricing"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    events_hourly(SF_DIR).count()
+    queries["events_hourly"] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "kg end-to-end wall sec (extract→link→canonicalize→materialize)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "replicas": REPLICAS,
+        "canonical_triples": canonical_rows,
+        "emitted_triples": emitted,
+        "triples_per_sec": round(emitted / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """N vs 4N parallelism comparison in fresh processes on the same input.
+
+    Levels default to 2 and 8 CPUs: control experiments (BASELINE.md)
+    show this sandbox saturates its memory bandwidth at ~8-12 concurrent
+    python workers even WITHOUT Ray (pure multiprocessing shows the same
+    ceiling), so 8→32 measures the box, not the engine.  2→8 sits inside
+    the machine's linear region; override with SCOOBIE_SCALE_LO.
+    """
+    lo_cpus = int(os.environ.get("SCOOBIE_SCALE_LO", "2"))
+    hi_cpus = lo_cpus * 4
+
+    def one(ncpu: int) -> dict:
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), SCOOBIE_BENCH_HEADLINE_ONLY="1"
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(lo_cpus), one(hi_cpus)
+    thr_lo = lo["triples_per_sec"]
+    thr_hi = hi["triples_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi_cpus / lo_cpus)
+    return {
+        "metric": f"scaling efficiency (num_cpus {lo_cpus} -> {hi_cpus}, same input)",
+        "cpus_lo": lo_cpus,
+        "cpus_hi": hi_cpus,
+        "sec_lo": lo["value"],
+        "sec_hi": hi["value"],
+        "triples_per_sec_lo": thr_lo,
+        "triples_per_sec_hi": thr_hi,
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -32,16 +32,75 @@ def _local_combine(batch: pa.Table) -> pa.Table:
     return g.rename_columns(KEY + ["belief", "n_docs"])
 
 
-def canonicalize(triples_ds):
+def _combine2(batch: pa.Table) -> pa.Table:
+    g = batch.group_by(KEY).aggregate([("belief", "max"), ("n_docs", "sum")])
+    return g.rename_columns(KEY + ["belief", "n_docs"])
+
+
+def canonicalize(
+    triples_ds,
+    num_partitions: int | None = None,
+    strategy: str = "tree",
+    tree_fan_in: int = 8,
+    tree_root_limit: int = 5_000_000,
+):
     """triples Dataset -> canonical Dataset
-    (subj, pred, obj, graph, belief, n_docs)."""
+    (subj, pred, obj, graph, belief, n_docs).
+
+    strategy="tree" (default): associative tree-combine — per-block local
+    dedup, then repeated ``repartition(n // fan_in)`` + re-combine until one
+    block holds the global distinct set.  Map-only (no key shuffle): each
+    level moves only already-deduped rows, so a triple occupies one row per
+    surviving block regardless of how many documents emitted it.  Valid
+    while the distinct canonical set fits a single task (guarded by
+    ``tree_root_limit``); at 10^12-doc scale with billions of distinct
+    triples the guard falls back to…
+
+    strategy="groupby": the general path — combine, then an explicitly
+    partitioned hash/sort groupby on (subj, pred, obj, graph).
+    ``num_partitions`` should scale with cluster size, not block count
+    (Ray's aggregate cost grows with both input block count and partition
+    count).
+    """
     from ray.data.aggregate import Max, Sum
 
     combined = triples_ds.map_batches(
         _local_combine, batch_format="pyarrow", zero_copy_batch=True
     )
-    out = combined.groupby(KEY).aggregate(
+
+    if strategy == "tree":
+        level = combined.materialize()
+        while level.num_blocks() > 1:
+            n_next = max(1, level.num_blocks() // tree_fan_in)
+            level = (
+                level.repartition(n_next)
+                .map_batches(
+                    _combine2,
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                    batch_size=None,  # whole coalesced block per batch
+                )
+                .materialize()
+            )
+            if level.count() > tree_root_limit:
+                # distinct set too large for a single root task — finish
+                # with the shuffling groupby on the already-shrunk rows
+                return _groupby_finish(level, num_partitions)
+        return level
+
+    return _groupby_finish(combined, num_partitions)
+
+
+def _groupby_finish(combined_ds, num_partitions: int | None):
+    """Global merge of already-combined rows via partitioned groupby."""
+    from ray.data.aggregate import Max, Sum
+
+    if num_partitions is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(4, min(64, cpus // 2))
+    return combined_ds.groupby(KEY, num_partitions=num_partitions).aggregate(
         Max("belief", alias_name="belief"),
         Sum("n_docs", alias_name="n_docs"),
     )
-    return out

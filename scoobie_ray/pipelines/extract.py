@@ -64,7 +64,10 @@ class ExtractActor:
 
     def annotate(self, batch: pa.Table) -> pa.Table:
         batch = self.spot(batch)
-        batch = self.link(batch)
+        if self.emit == "annotations":
+            # candidate columns are an inspection/eval surface; the triples
+            # path skips them (the disambiguator reads the KB directly)
+            batch = self.link(batch)
         batch = self.disambiguate(batch)
         batch = self.facts(batch)
         if self.rater is not None:

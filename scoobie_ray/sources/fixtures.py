@@ -185,6 +185,57 @@ def kg_docs_table(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
 
 
+def kg_bench_docs_table(sf_dir: str, sentences_per_doc: int = 20) -> pa.Table:
+    """Bench-scale corpus: multi-sentence documents (realistic doc length,
+    ~40 mentions/doc) assembled from the same entity sentences as
+    :func:`kg_docs_table`.  One text span per sentence; an image span every
+    third sentence boundary (span invariant still exercised).  Deterministic;
+    not oracle-gated (the per-doc single-sentence corpus is)."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    supplier = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    region_name = dict(
+        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
+    )
+    nation_name = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+
+    sentences: list[str] = []
+    for k, name, rk in zip(*[nation[c].to_pylist() for c in nation.column_names]):
+        sentences.append(name + T_NATION + region_name[rk] + ".")
+    for k, name, nk in zip(*[supplier[c].to_pylist() for c in supplier.column_names]):
+        sentences.append(name + T_OPERATES + nation_name[nk] + ".")
+    for k, name, nk in zip(*[customer[c].to_pylist() for c in customer.column_names]):
+        sentences.append(name + T_BASED + nation_name[nk] + ".")
+        sentences.append(
+            "Holder_%d" % (k % ALIAS_MOD) + T_BASED + nation_name[nk] + "."
+        )
+
+    rows: list[dict] = []
+    for i in range(0, len(sentences), sentences_per_doc):
+        chunk = sentences[i : i + sentences_per_doc]
+        doc_id = "bench-%06d" % (i // sentences_per_doc)
+        spans: list[dict] = []
+        off = 0
+        for j, s in enumerate(chunk):
+            text = s + " "
+            spans.append({"kind": "text", "text": text, "media_ref": "", "offset": off})
+            off += len(text)
+            if j % 3 == 2:
+                spans.append(
+                    {
+                        "kind": "image",
+                        "text": "",
+                        "media_ref": "media://img/%s/%d" % (doc_id, j),
+                        "offset": off,
+                    }
+                )
+        rows.append({"doc_id": doc_id, "spans": spans})
+    return pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Hand-written smoke fixture mirroring the reference's test1/test2.ttl
 # (Percy Jackson / Camp Halfblood; see FIXTURES.md §4).

@@ -32,6 +32,7 @@ from __future__ import annotations
 import random
 from collections.abc import Callable
 
+import numpy as np
 import pyarrow as pa
 
 from .spot import resolve_kb
@@ -132,6 +133,10 @@ class Disambiguator:
     def __init__(self, kb, resolver: str = "degree"):
         self.kb = resolve_kb(kb)
         self.resolver = make_resolver(resolver)
+        # memo: sorted distinct-literal tuple -> {literal: (winner, prop)}
+        self._memo: dict[tuple, dict[int, tuple[int, int]]] = {}
+        # per-actor candidate cache: literal -> (props list, subjs list)
+        self._cand: dict[int, tuple[list[int], list[int]]] = {}
         tp = self.kb.bundle.meta.get("type_predicate_index")
         if tp is None:
             tp = self.kb.uri_index(
@@ -139,64 +144,134 @@ class Disambiguator:
             )
         self.type_pred = tp
 
-    def _resolve_doc(
-        self,
-        lits: list[int],
-        cm: list[int],
-        cp: list[int],
-        cs: list[int],
-    ) -> tuple[list[int], list[int], list[int]]:
-        if not cm:
-            return [], [], []
-        # mention -> candidate (prop, subj) pairs
-        per_mention: dict[int, list[tuple[int, int]]] = {}
-        for m, p, s in zip(cm, cp, cs):
-            per_mention.setdefault(m, []).append((p, s))
-        nodes: set[int] = set(cs)
+    def _graph_for(
+        self, lit_candidates: dict[int, list[int]]
+    ) -> tuple[Scores, dict[int, list[int]], dict[int, list[int]], set[int]]:
+        """Build the per-doc graph from the distinct-literal candidate sets.
 
-        # literal edges: one edge per distinct literal naming the subject
-        lit_candidates: dict[int, set[int]] = {}
-        for m, pairs in per_mention.items():
-            lit = lits[m]
-            lit_candidates.setdefault(lit, set()).update(s for _, s in pairs)
+        Edge expansion is anchor-centric and vectorized: the reference
+        BFS-expands from unambiguous references in ascending-ambiguity
+        order (populateGraphWithRelations :225-293); we enumerate the KB
+        neighbors of each unambiguous anchor once (numpy isin against the
+        sorted candidate set) instead of probing every candidate — hub
+        ambiguity sets (hundreds of candidates sharing a literal) cost two
+        vector ops per anchor, not a Python loop per candidate.  Ambiguity
+        sets that anchors fail to discriminate fall back to bounded direct
+        expansion (the reference's backward pass, :409-435).
+        """
+        nodes: set[int] = set()
+        for subs in lit_candidates.values():
+            nodes.update(subs)
+        node_arr = np.fromiter(nodes, dtype=np.int64, count=len(nodes))
+        node_arr.sort()
+
         lit_edges: Scores = {}
         for subs in lit_candidates.values():
             for s in subs:
                 lit_edges[s] = lit_edges.get(s, 0.0) + 1.0
 
-        # KB relation edges among in-doc candidates (skip rdf:type, :453)
+        anchors = {subs[0] for subs in lit_candidates.values() if len(subs) == 1}
         out_adj: dict[int, list[int]] = {}
         in_adj: dict[int, list[int]] = {}
-        for s in nodes:
-            preds, objs = self.kb.outgoing(s)
-            for p, o in zip(preds.tolist(), objs.tolist()):
-                if p == self.type_pred:
+
+        def _add(a: int, b: int) -> None:  # edge a -> b
+            out_adj.setdefault(a, []).append(b)
+            in_adj.setdefault(b, []).append(a)
+
+        for a in anchors:
+            preds, objs = self.kb.outgoing(a)
+            if len(objs):
+                mask = np.isin(objs, node_arr) & (preds != self.type_pred) & (objs != a)
+                for o in objs[mask].tolist():
+                    _add(a, o)
+            preds, subs = self.kb.incoming(a)
+            if len(subs):
+                mask = np.isin(subs, node_arr) & (preds != self.type_pred) & (subs != a)
+                for s in subs[mask].tolist():
+                    if s not in anchors:  # anchor->anchor counted on out pass
+                        _add(s, a)
+
+        # fallback for sets anchors could not discriminate (bounded)
+        for subs in lit_candidates.values():
+            if len(subs) < 2 or len(subs) > 512:
+                continue
+            degs = {
+                s: len(out_adj.get(s, ())) + len(in_adj.get(s, ())) for s in subs
+            }
+            if len(set(degs.values())) > 1:
+                continue
+            for s in subs:
+                preds, objs = self.kb.outgoing(s)
+                if not len(objs):
                     continue
-                if o in nodes and o != s:
-                    out_adj.setdefault(s, []).append(o)
-                    in_adj.setdefault(o, []).append(s)
+                mask = np.isin(objs, node_arr) & (preds != self.type_pred) & (objs != s)
+                for o in objs[mask].tolist():
+                    if o not in anchors:  # anchor edges already counted
+                        _add(s, o)
+        return lit_edges, out_adj, in_adj, nodes
 
-        scores = self.resolver(lit_edges, out_adj, in_adj, nodes)
+    def _candidates(self, lit: int) -> tuple[list[int], list[int]]:
+        hit = self._cand.get(lit)
+        if hit is None:
+            props, subs = self.kb.candidates_for_literal(lit)
+            hit = (props.tolist(), subs.tolist())
+            self._cand[lit] = hit
+        return hit
 
+    def _winners(self, distinct_lits: tuple[int, ...]) -> dict[int, tuple[int, int]]:
+        """Resolve a distinct-literal combination to {literal: (subject,
+        property)}.  Resolution is a pure function of (literal set, KB), so
+        results are memoized across documents sharing the same spotted
+        literal combination — frequent in real corpora."""
+        winners = self._memo.get(distinct_lits)
+        if winners is not None:
+            return winners
+        lit_candidates: dict[int, list[int]] = {}
+        for lit in distinct_lits:
+            _props, subs = self._candidates(lit)
+            if subs:
+                # distinct preserving order (symbols CSR is sorted)
+                seen: list[int] = []
+                for s in subs:
+                    if s not in seen:
+                        seen.append(s)
+                lit_candidates[lit] = seen
+        if not lit_candidates:
+            winners = {}
+        else:
+            lit_edges, out_adj, in_adj, nodes = self._graph_for(lit_candidates)
+            scores = self.resolver(lit_edges, out_adj, in_adj, nodes)
+            winners = {}
+            for lit, subs in lit_candidates.items():
+                win = min(subs, key=lambda s: (-scores.get(s, 0.0), s))
+                props, csubs = self._candidates(lit)
+                prop = next(p for p, s in zip(props, csubs) if s == win)
+                winners[lit] = (win, prop)
+        if len(self._memo) > 200_000:
+            self._memo.clear()
+        self._memo[distinct_lits] = winners
+        return winners
+
+    def _resolve_doc(
+        self, lits: list[int]
+    ) -> tuple[list[int], list[int], list[int]]:
+        if not lits:
+            return [], [], []
+        winners = self._winners(tuple(sorted(set(lits))))
         rm, rs, rp = [], [], []
-        for m in sorted(per_mention):
-            pairs = per_mention[m]
-            # argmax score, ties -> smallest subject index (stable URI order)
-            best = min(pairs, key=lambda ps: (-scores.get(ps[1], 0.0), ps[1]))
+        for m, lit in enumerate(lits):
+            hit = winners.get(lit)
+            if hit is None:
+                continue
             rm.append(m)
-            rp.append(best[0])
-            rs.append(best[1])
+            rs.append(hit[0])
+            rp.append(hit[1])
         return rm, rs, rp
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rms, rss, rps = [], [], []
-        for lits, cm, cp, cs in zip(
-            batch["mention_literal"].to_pylist(),
-            batch["cand_mention"].to_pylist(),
-            batch["cand_prop"].to_pylist(),
-            batch["cand_subj"].to_pylist(),
-        ):
-            rm, rs, rp = self._resolve_doc(lits, cm, cp, cs)
+        for lits in batch["mention_literal"].to_pylist():
+            rm, rs, rp = self._resolve_doc(lits)
             rms.append(rm)
             rss.append(rs)
             rps.append(rp)

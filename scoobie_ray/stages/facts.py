@@ -33,6 +33,34 @@ class FactStage:
         if tp is None:
             tp = self.kb.uri_index("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
         self.type_pred = tp
+        # per-actor subject caches (outgoing split + clusters): head entities
+        # recur across millions of docs, so these amortize to O(1) per hit
+        self._out: dict[int, tuple[list, list, list, list, list]] = {}
+        self._clusters: dict[int, list[int]] = {}
+
+    def _subject_out(self, s: int):
+        hit = self._out.get(s)
+        if hit is None:
+            preds, objs = self.kb.outgoing(s)
+            ks, kp, ko, ts, to = [], [], [], [], []
+            for p, o in zip(preds.tolist(), objs.tolist()):
+                if p == self.type_pred:
+                    ts.append(s)
+                    to.append(o)
+                else:
+                    ks.append(s)
+                    kp.append(p)
+                    ko.append(o)
+            hit = (ks, kp, ko, ts, to)
+            self._out[s] = hit
+        return hit
+
+    def _subject_clusters(self, s: int) -> list[int]:
+        hit = self._clusters.get(s)
+        if hit is None:
+            hit = self.kb.clusters_of(s)
+            self._clusters[s] = hit
+        return hit
 
     def _doc(self, resolved: list[int]):
         kb = self.kb
@@ -42,17 +70,14 @@ class FactStage:
                 subjects.append(s)
         ks, kp, ko, ts, to = [], [], [], [], []
         for s in subjects:
-            preds, objs = kb.outgoing(s)
-            for p, o in zip(preds.tolist(), objs.tolist()):
-                if p == self.type_pred:
-                    ts.append(s)
-                    to.append(o)
-                else:
-                    ks.append(s)
-                    kp.append(p)
-                    ko.append(o)
+            cks, ckp, cko, cts, cto = self._subject_out(s)
+            ks.extend(cks)
+            kp.extend(ckp)
+            ko.extend(cko)
+            ts.extend(cts)
+            to.extend(cto)
         ps, pp, po = [], [], []
-        clusters = {s: kb.clusters_of(s) for s in subjects}
+        clusters = {s: self._subject_clusters(s) for s in subjects}
         for a in subjects:
             for b in subjects:
                 if a == b:

@@ -60,9 +60,45 @@ def resolve_kb(kb) -> KBIndex:
     return KBIndex(kb)
 
 
+def _trie_regex(words: set[str]) -> str:
+    """Factor a word set into a trie-shaped regex.
+
+    Shared prefixes become shared automaton states, so matching cost is
+    O(text_len × trie_depth) instead of O(text_len × n_words) — the regex
+    engine walks the trie like an Aho-Corasick automaton anchored at each
+    position.  Terminal states are emitted as greedy-optional suffixes
+    (``(?:...)?``), so the match at any start position is the LONGEST
+    dictionary word — exactly the ordering filterLongestMatches needs.
+    """
+    trie: dict = {}
+    for w in words:
+        node = trie
+        for ch in w:
+            node = node.setdefault(ch, {})
+        node[""] = {}
+
+    def emit(node: dict) -> str:
+        terminal = "" in node
+        children = sorted(k for k in node if k != "")
+        if not children:
+            return ""
+        alts = [re.escape(ch) + emit(node[ch]) for ch in children]
+        body = alts[0] if len(alts) == 1 else "(?:%s)" % "|".join(alts)
+        if terminal:
+            # greedy optional: try the longer continuation first
+            if len(alts) == 1 and len(body) == len(re.escape(children[0])):
+                return body + "?"
+            return "(?:%s)?" % body
+        return body
+
+    return emit(trie)
+
+
 class Matcher:
-    """The per-actor literal automaton (reference: prefix-hash + sort-merge;
-    ours: longest-first alternation regex with lookahead capture)."""
+    """The per-actor literal automaton (reference: prefix-hash + SQL
+    sort-merge over a suffix array, SuffixArray.compare:261-359; ours: a
+    trie-factored regex with a zero-width lookahead capture, built once per
+    actor from the broadcast literal dictionary)."""
 
     def __init__(self, literals: list[str], config: SpotConfig | None = None):
         self.config = config or SpotConfig()
@@ -76,11 +112,8 @@ class Matcher:
             self.exact[lit] = idx
             self.by_lower.setdefault(lit.lower(), []).append(idx)
             alts.add(lit if self.config.case_sensitive else lit.lower())
-        ordered = sorted(alts, key=lambda s: (-len(s), s))
-        if ordered:
-            pattern = "(?<![A-Za-z0-9_])(?=(%s))" % "|".join(
-                re.escape(a) for a in ordered
-            )
+        if alts:
+            pattern = "(?<![A-Za-z0-9_])(?=(%s))" % _trie_regex(alts)
             flags = 0 if self.config.case_sensitive else re.IGNORECASE
             self.rx: re.Pattern | None = re.compile(pattern, flags)
         else:

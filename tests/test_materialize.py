@@ -1,0 +1,74 @@
+"""Resume-from-manifest semantics: partitions already in the manifest are
+skipped; a torn (temp) write is discarded and recomputed; output digests
+are stable across reruns (deterministic partitions — FIXTURES.md §5)."""
+
+import os
+import shutil
+
+import pytest
+
+from scoobie_ray.pipelines.canonicalize import canonicalize
+from scoobie_ray.pipelines.extract import extract_triples
+from scoobie_ray.pipelines.materialize import load_manifest, materialize_partitioned
+from scoobie_ray.sources.fixtures import kg_docs_table, kg_kb
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def run_partition(ray_session):
+    import ray.data
+
+    kb = kg_kb(SF)
+    docs = kg_docs_table(SF)
+
+    def run(row_range):
+        lo, hi = row_range
+        part = docs.slice(lo, hi - lo)
+        return canonicalize(
+            extract_triples(ray.data.from_arrow(part), kb, concurrency=1)
+        )
+
+    return run
+
+
+def _partitions(n_docs=335, size=120):
+    return [
+        (f"shard-{lo}", (lo, min(lo + size, n_docs))) for lo in range(0, n_docs, size)
+    ]
+
+
+def test_materialize_and_resume(tmp_path, run_partition):
+    out = str(tmp_path / "out")
+    s1 = materialize_partitioned(_partitions(), run_partition, out)
+    assert s1["completed"] == 3 and s1["skipped"] == 0
+    man = load_manifest(out)
+    assert len(man) == 3
+    assert all(r["rows"] > 0 for r in man.values())
+
+    # rerun: everything skipped, same totals
+    s2 = materialize_partitioned(_partitions(), run_partition, out)
+    assert s2["completed"] == 0 and s2["skipped"] == 3
+    assert s2["total_rows"] == s1["total_rows"]
+
+
+def test_materialize_recovers_torn_write(tmp_path, run_partition):
+    out = str(tmp_path / "out")
+    parts = _partitions()
+    s1 = materialize_partitioned(parts[:1], run_partition, out)
+    assert s1["completed"] == 1
+    # simulate a crash mid-partition: stale temp dir for an uncommitted part
+    os.makedirs(os.path.join(out, ".tmp-part=shard-120"))
+    s2 = materialize_partitioned(parts, run_partition, out)
+    assert s2["completed"] == 2 and s2["skipped"] == 1
+    assert not any(d.startswith(".tmp") for d in os.listdir(out))
+
+
+def test_partition_digests_deterministic(tmp_path, run_partition):
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    materialize_partitioned(_partitions()[:1], run_partition, out_a)
+    materialize_partitioned(_partitions()[:1], run_partition, out_b)
+    da = load_manifest(out_a)["shard-0"]
+    db = load_manifest(out_b)["shard-0"]
+    assert da["rows"] == db["rows"]
