@@ -42,13 +42,13 @@ def stage_docs(sf_dir: str) -> str:
 
     from scoobie_ray.sources.fixtures import kg_bench_docs_table
 
-    key = hashlib.md5(f"{sf_dir}|{REPLICAS}|bench".encode()).hexdigest()[:10]
+    key = hashlib.md5(f"{sf_dir}|{REPLICAS}|benchv2".encode()).hexdigest()[:10]
     path = os.path.join(STAGE_ROOT, f"docs-{key}.parquet")
     if not os.path.exists(path):
         os.makedirs(STAGE_ROOT, exist_ok=True)
-        base = kg_bench_docs_table(sf_dir)
         reps = []
         for r in range(REPLICAS):
+            base = kg_bench_docs_table(sf_dir, variant=r)
             t = base.set_column(
                 base.schema.get_field_index("doc_id"),
                 "doc_id",

@@ -70,10 +70,11 @@ def canonicalize(
 
     if strategy == "tree":
         level = combined.materialize()
-        while level.num_blocks() > 1:
-            n_next = max(1, level.num_blocks() // tree_fan_in)
+        # one parallel intermediate level (only if wide), then the root —
+        # every materialize is a driver barrier, so keep the tree shallow
+        if level.num_blocks() > 2 * tree_fan_in:
             level = (
-                level.repartition(n_next)
+                level.repartition(tree_fan_in)
                 .map_batches(
                     _combine2,
                     batch_format="pyarrow",
@@ -82,10 +83,17 @@ def canonicalize(
                 )
                 .materialize()
             )
-            if level.count() > tree_root_limit:
-                # distinct set too large for a single root task — finish
-                # with the shuffling groupby on the already-shrunk rows
-                return _groupby_finish(level, num_partitions)
+        if level.count() > tree_root_limit:
+            # distinct set too large for a single root task — finish with
+            # the shuffling groupby on the already-shrunk rows
+            return _groupby_finish(level, num_partitions)
+        if level.num_blocks() > 1:
+            level = level.repartition(1).map_batches(
+                _combine2,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=None,
+            )
         return level
 
     return _groupby_finish(combined, num_partitions)

@@ -185,7 +185,9 @@ def kg_docs_table(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
 
 
-def kg_bench_docs_table(sf_dir: str, sentences_per_doc: int = 20) -> pa.Table:
+def kg_bench_docs_table(
+    sf_dir: str, sentences_per_doc: int = 20, variant: int = 0
+) -> pa.Table:
     """Bench-scale corpus: multi-sentence documents (realistic doc length,
     ~40 mentions/doc) assembled from the same entity sentences as
     :func:`kg_docs_table`.  One text span per sentence; an image span every
@@ -212,6 +214,14 @@ def kg_bench_docs_table(sf_dir: str, sentences_per_doc: int = 20) -> pa.Table:
         sentences.append(
             "Holder_%d" % (k % ALIAS_MOD) + T_BASED + nation_name[nk] + "."
         )
+
+    if variant:
+        # rotate by a stride co-prime-ish with the corpus so each variant
+        # groups different sentences into a doc -> distinct literal sets
+        # per variant (replicated bench corpora shouldn't hand the
+        # cross-doc memo free hits the real corpus wouldn't)
+        shift = (variant * 7919) % len(sentences)
+        sentences = sentences[shift:] + sentences[:shift]
 
     rows: list[dict] = []
     for i in range(0, len(sentences), sentences_per_doc):

@@ -132,11 +132,14 @@ class Disambiguator:
 
     def __init__(self, kb, resolver: str = "degree"):
         self.kb = resolve_kb(kb)
+        self.resolver_name = resolver
         self.resolver = make_resolver(resolver)
         # memo: sorted distinct-literal tuple -> {literal: (winner, prop)}
         self._memo: dict[tuple, dict[int, tuple[int, int]]] = {}
-        # per-actor candidate cache: literal -> (props list, subjs list)
+        # per-actor candidate caches: literal -> (props, subjs) / distinct subjs
         self._cand: dict[int, tuple[list[int], list[int]]] = {}
+        self._cand_distinct: dict[int, list[int]] = {}
+        self._anchor_nbrs: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         tp = self.kb.bundle.meta.get("type_predicate_index")
         if tp is None:
             tp = self.kb.uri_index(
@@ -218,6 +221,102 @@ class Disambiguator:
             self._cand[lit] = hit
         return hit
 
+    def _anchor_neighbors(self, a: int) -> tuple[np.ndarray, np.ndarray]:
+        hit = self._anchor_nbrs.get(a)
+        if hit is None:
+            preds, objs = self.kb.outgoing(a)
+            out_arr = (
+                objs[(preds != self.type_pred) & (objs != a)].astype(np.int64)
+                if len(objs)
+                else objs.astype(np.int64)
+            )
+            preds, subs = self.kb.incoming(a)
+            in_arr = (
+                subs[(preds != self.type_pred) & (subs != a)].astype(np.int64)
+                if len(subs)
+                else subs.astype(np.int64)
+            )
+            hit = (out_arr, in_arr)
+            self._anchor_nbrs[a] = hit
+        return hit
+
+    def _distinct_candidates(self, lit: int) -> list[int]:
+        hit = self._cand_distinct.get(lit)
+        if hit is None:
+            _props, subs = self.kb.candidates_for_literal(lit)
+            hit = np.unique(subs).tolist() if len(subs) else []
+            self._cand_distinct[lit] = hit
+        return hit
+
+    def _winners_degree(
+        self, lit_candidates: dict[int, list[int]]
+    ) -> dict[int, int]:
+        """Vectorized winner selection for the default degree resolver.
+
+        Scores only the candidates of ambiguous literals (unambiguous
+        literals resolve to their single candidate): numpy bincount for
+        literal edges, anchor-centric searchsorted accumulation for KB
+        edges — no Python dict per node.  Produces identical winners to
+        the graph resolver path (same degree contributions, same
+        min-subject-index tie-break)."""
+        winners: dict[int, int] = {}
+        ambiguous: dict[int, list[int]] = {}
+        for lit, subs in lit_candidates.items():
+            if len(subs) == 1:
+                winners[lit] = subs[0]
+            else:
+                ambiguous[lit] = subs
+        if not ambiguous:
+            return winners
+
+        node_set: set[int] = set()
+        for subs in ambiguous.values():
+            node_set.update(subs)
+        node_arr = np.fromiter(node_set, dtype=np.int64, count=len(node_set))
+        node_arr.sort()
+        scores = np.zeros(len(node_arr))
+
+        def _pos(arr: np.ndarray) -> np.ndarray:
+            pos = np.searchsorted(node_arr, arr)
+            pos[pos >= len(node_arr)] = 0
+            return pos[(node_arr[pos] == arr)] if len(arr) else pos
+
+        # literal edges: +1 per literal naming the candidate
+        for subs in lit_candidates.values():
+            arr = np.asarray(subs, dtype=np.int64)
+            hits = _pos(arr)
+            np.add.at(scores, hits, 1.0)
+
+        # anchor-centric KB edges (skip rdf:type); filtered neighbor arrays
+        # are cached per subject across documents
+        for a in set(winners.values()):
+            out_arr, in_arr = self._anchor_neighbors(a)
+            if len(out_arr):
+                np.add.at(scores, _pos(out_arr), 1.0)
+            if len(in_arr):
+                np.add.at(scores, _pos(in_arr), 1.0)
+
+        for lit, subs in ambiguous.items():
+            arr = np.asarray(subs, dtype=np.int64)
+            pos = np.searchsorted(node_arr, arr)
+            sc = scores[pos]
+            if sc.max() == sc.min() and len(arr) <= 512:
+                # fallback: direct expansion among ambiguous candidates
+                # (the reference's backward pass, :409-435)
+                for s in subs:
+                    preds, objs = self.kb.outgoing(s)
+                    if len(objs):
+                        sel = objs[(preds != self.type_pred) & (objs != s)]
+                        hits = _pos(sel.astype(np.int64))
+                        np.add.at(scores, hits, 1.0)
+                        if len(hits):
+                            scores[np.searchsorted(node_arr, s)] += len(hits)
+                sc = scores[pos]
+            # argmax, ties -> smallest subject index (arr sorted? not nec.)
+            order = np.lexsort((arr, -sc))
+            winners[lit] = int(arr[order[0]])
+        return winners
+
     def _winners(self, distinct_lits: tuple[int, ...]) -> dict[int, tuple[int, int]]:
         """Resolve a distinct-literal combination to {literal: (subject,
         property)}.  Resolution is a pure function of (literal set, KB), so
@@ -228,16 +327,18 @@ class Disambiguator:
             return winners
         lit_candidates: dict[int, list[int]] = {}
         for lit in distinct_lits:
-            _props, subs = self._candidates(lit)
-            if subs:
-                # distinct preserving order (symbols CSR is sorted)
-                seen: list[int] = []
-                for s in subs:
-                    if s not in seen:
-                        seen.append(s)
-                lit_candidates[lit] = seen
+            subs = self._distinct_candidates(lit)
+            if len(subs):
+                lit_candidates[lit] = subs
         if not lit_candidates:
             winners = {}
+        elif self.resolver_name == "degree":
+            flat = self._winners_degree(lit_candidates)
+            winners = {}
+            for lit, win in flat.items():
+                props, csubs = self._candidates(lit)
+                prop = next(p for p, s in zip(props, csubs) if s == win)
+                winners[lit] = (win, prop)
         else:
             lit_edges, out_adj, in_adj, nodes = self._graph_for(lit_candidates)
             scores = self.resolver(lit_edges, out_adj, in_adj, nodes)
@@ -254,11 +355,11 @@ class Disambiguator:
 
     def _resolve_doc(
         self, lits: list[int]
-    ) -> tuple[list[int], list[int], list[int]]:
+    ) -> tuple[list[int], list[int], list[int], list[int]]:
         if not lits:
-            return [], [], []
+            return [], [], [], []
         winners = self._winners(tuple(sorted(set(lits))))
-        rm, rs, rp = [], [], []
+        rm, rs, rp, rl = [], [], [], []
         for m, lit in enumerate(lits):
             hit = winners.get(lit)
             if hit is None:
@@ -266,18 +367,21 @@ class Disambiguator:
             rm.append(m)
             rs.append(hit[0])
             rp.append(hit[1])
-        return rm, rs, rp
+            rl.append(lit)
+        return rm, rs, rp, rl
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rms, rss, rps = [], [], []
+        rms, rss, rps, rls = [], [], [], []
         for lits in batch["mention_literal"].to_pylist():
-            rm, rs, rp = self._resolve_doc(lits)
+            rm, rs, rp, rl = self._resolve_doc(lits)
             rms.append(rm)
             rss.append(rs)
             rps.append(rp)
+            rls.append(rl)
         lt = pa.list_(pa.int64())
         return (
             batch.append_column("resolved_mention", pa.array(rms, lt))
             .append_column("resolved_subj", pa.array(rss, lt))
             .append_column("resolved_prop", pa.array(rps, lt))
+            .append_column("resolved_lit", pa.array(rls, lt))
         )

@@ -8,15 +8,16 @@ Reimplements RDFSerializer.java:61-113 semantics: three named graphs —
 ``known``       the resolved subjects' outgoing KB object-property triples;
 ``predicted``   markov-recommended edges between resolved subject pairs.
 
-This is a stateless explode: each doc row yields N triple rows
-(doc_id, subj, pred, obj, graph, belief).  URI/literal surface forms are
-decoded from the broadcast dictionaries.  Downstream, canonicalization
-dedups (subj, pred, obj, graph) corpus-wide (pipelines/canonicalize.py).
+Fully vectorized explode: each annotation list column is flattened with
+``pc.list_flatten`` / ``pc.list_parent_indices`` (zero-copy offset math),
+doc_ids and URI/literal surface forms are resolved with ``pc.take`` against
+the broadcast dictionaries — no per-row Python in this stage.
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .spot import resolve_kb
 
@@ -37,68 +38,65 @@ RDF_TYPE_URI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 class TripleSerializer:
     def __init__(self, kb):
         self.kb = resolve_kb(kb)
+        self._uri_arr = pa.array(self.kb.uris, pa.string())
+        self._lit_arr = pa.array(self.kb.literal_strings, pa.string())
+        self._type_pred_arr: pa.Array | None = None
+
+    def _flat(self, batch: pa.Table, col: str) -> tuple[pa.Array, pa.Array]:
+        """(flattened int values, parent row indices) for a list column."""
+        arr = batch[col].combine_chunks()
+        return pc.list_flatten(arr), pc.list_parent_indices(arr)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        kb = self.kb
-        uris = kb.uris
-        lits = kb.literal_strings
-        d_ids, ss, pp, oo, gg, bb = [], [], [], [], [], []
+        doc_ids = batch["doc_id"].combine_chunks()
+        uri = self._uri_arr
+        lit = self._lit_arr
+        parts: list[pa.Table] = []
 
-        def emit(doc_id: str, s: str, p: str, o: str, g: str, b: float = 1.0):
-            d_ids.append(doc_id)
-            ss.append(s)
-            pp.append(p)
-            oo.append(o)
-            gg.append(g)
-            bb.append(b)
+        def emit(parents, subj, pred, obj, graph: str):
+            n = len(subj)
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pc.take(doc_ids, parents),
+                        "subj": subj,
+                        "pred": pred,
+                        "obj": obj,
+                        "graph": pa.array([graph] * n, pa.string()),
+                        "belief": pa.nulls(n, pa.float64()).fill_null(1.0),
+                    },
+                    schema=TRIPLE_SCHEMA,
+                )
+            )
 
-        cols = [
-            "doc_id",
-            "mention_literal",
-            "resolved_mention",
-            "resolved_subj",
-            "resolved_prop",
-            "known_s",
-            "known_p",
-            "known_o",
-            "type_s",
-            "type_o",
-            "pred_s",
-            "pred_p",
-            "pred_o",
-        ]
-        data = [batch[c].to_pylist() for c in cols]
-        for (
-            doc_id,
-            m_lit,
-            r_m,
-            r_s,
-            r_p,
-            k_s,
-            k_p,
-            k_o,
-            t_s,
-            t_o,
-            p_s,
-            p_p,
-            p_o,
-        ) in zip(*data):
-            for m, s, p in zip(r_m, r_s, r_p):
-                emit(doc_id, uris[s], uris[p], lits[m_lit[m]], "recognized")
-            for s, o in zip(t_s, t_o):
-                emit(doc_id, uris[s], RDF_TYPE_URI, uris[o], "recognized")
-            for s, p, o in zip(k_s, k_p, k_o):
-                emit(doc_id, uris[s], uris[p], uris[o], "known")
-            for s, p, o in zip(p_s, p_p, p_o):
-                emit(doc_id, uris[s], uris[p], uris[o], "predicted")
+        # recognized: (subject, datatype property, matched literal text)
+        r_s, parents = self._flat(batch, "resolved_subj")
+        r_p, _ = self._flat(batch, "resolved_prop")
+        r_l, _ = self._flat(batch, "resolved_lit")
+        emit(parents, pc.take(uri, r_s), pc.take(uri, r_p), pc.take(lit, r_l), "recognized")
 
-        return pa.table(
-            {
-                "doc_id": pa.array(d_ids, pa.string()),
-                "subj": pa.array(ss, pa.string()),
-                "pred": pa.array(pp, pa.string()),
-                "obj": pa.array(oo, pa.string()),
-                "graph": pa.array(gg, pa.string()),
-                "belief": pa.array(bb, pa.float64()),
-            }
+        # recognized rdf:types of resolved subjects
+        t_s, parents = self._flat(batch, "type_s")
+        t_o, _ = self._flat(batch, "type_o")
+        n = len(t_s)
+        emit(
+            parents,
+            pc.take(uri, t_s),
+            pa.array([RDF_TYPE_URI] * n, pa.string()),
+            pc.take(uri, t_o),
+            "recognized",
         )
+
+        # known outgoing object-property triples
+        k_s, parents = self._flat(batch, "known_s")
+        k_p, _ = self._flat(batch, "known_p")
+        k_o, _ = self._flat(batch, "known_o")
+        emit(parents, pc.take(uri, k_s), pc.take(uri, k_p), pc.take(uri, k_o), "known")
+
+        # predicted edges
+        p_s, parents = self._flat(batch, "pred_s")
+        p_p, _ = self._flat(batch, "pred_p")
+        p_o, _ = self._flat(batch, "pred_o")
+        emit(parents, pc.take(uri, p_s), pc.take(uri, p_p), pc.take(uri, p_o), "predicted")
+
+        return pa.concat_tables(parts)
