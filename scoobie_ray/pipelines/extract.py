@@ -51,24 +51,67 @@ class ExtractActor:
         case_sensitive: bool = True,
         emit: str = "triples",  # "triples" | "annotations"
         rate: bool = False,
+        template=None,
+        segment: bool = False,
+        tag: bool = False,
+        regex: bool = False,
+        classify: bool = False,
+        langid: bool = False,
     ):
         index = resolve_kb(kb)  # one ray.get + index build per actor
+        resolved = template.resolve(index) if template is not None else None
         cfg = SpotConfig(case_sensitive=case_sensitive)
-        self.spot = Spotter(index, cfg)
-        self.link = Linker(index)
-        self.disambiguate = Disambiguator(index, resolver=resolver)
+        self.spot = Spotter(index, cfg, template=resolved)
+        self.link = Linker(index, template=resolved)
+        self.disambiguate = Disambiguator(index, resolver=resolver, template=resolved)
         self.facts = FactStage(index, markov_k=markov_k)
         self.rater = RelevanceRater(index) if rate else None
         self.serializer = TripleSerializer(index)
         self.emit = emit
+        self.segment = segment or tag or classify
+        self.tagger = None
+        self.chunker = None
+        self.classifier = None
+        self.regex = None
+        self.langid = None
+        if tag or classify:
+            from ..stages.tag import NounPhraseChunker, POSTagger
+
+            self.tagger = POSTagger()
+            self.chunker = NounPhraseChunker()
+        if classify:
+            from ..stages.classify import PhraseClassifier
+
+            self.classifier = PhraseClassifier(index)
+        if regex:
+            from ..stages.regex_recognize import RegexRecognizer
+
+            self.regex = RegexRecognizer()
+        if langid:
+            from ..stages.langid import DocLangId
+
+            self.langid = DocLangId()
 
     def annotate(self, batch: pa.Table) -> pa.Table:
+        if self.segment:
+            from ..stages.segment import segment_batch
+
+            batch = segment_batch(batch)
+        if self.langid is not None:
+            batch = self.langid(batch)
+        if self.tagger is not None:
+            batch = self.tagger(batch)
+            batch = self.chunker(batch)
+        if self.regex is not None:
+            batch = self.regex(batch)
         batch = self.spot(batch)
         if self.emit == "annotations":
             # candidate columns are an inspection/eval surface; the triples
             # path skips them (the disambiguator reads the KB directly)
             batch = self.link(batch)
         batch = self.disambiguate(batch)
+        if self.classifier is not None:
+            batch = self.classifier(batch)
         batch = self.facts(batch)
         if self.rater is not None:
             batch = self.rater(batch)

@@ -1,0 +1,84 @@
+"""Post-processing sinks beyond the triple dataset.
+
+- :class:`RDFaSerializer` — re-emit each document's text with
+  ``<span about="…" property="…">`` markup around resolved mentions
+  (postprocessor/RDFaSerializer.java:50-157).  A stateless formatting
+  map_batches stage producing an ``rdfa`` string column.
+- :func:`top_entities` — the ListSerializer: subjects ranked by a
+  relevance column, top-k (postprocessor/ListSerializer.java:47-77) —
+  ``sort(score desc).limit(k)`` over the exploded rated subjects.
+"""
+
+from __future__ import annotations
+
+import html
+
+import pyarrow as pa
+
+from ..stages.spot import resolve_kb
+
+
+class RDFaSerializer:
+    def __init__(self, kb):
+        self.kb = resolve_kb(kb)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        uris = self.kb.uris
+        out = []
+        for text, rm, rs, rp, ms, me in zip(
+            batch["plain_text"].to_pylist(),
+            batch["resolved_mention"].to_pylist(),
+            batch["resolved_subj"].to_pylist(),
+            batch["resolved_prop"].to_pylist(),
+            batch["mention_start"].to_pylist(),
+            batch["mention_end"].to_pylist(),
+        ):
+            # mentions ordered by start; emit spans around resolved ones
+            spans = sorted(
+                (ms[m], me[m], uris[s], uris[p])
+                for m, s, p in zip(rm, rs, rp)
+            )
+            parts: list[str] = []
+            cursor = 0
+            for s, e, subj, prop in spans:
+                if s < cursor:
+                    continue  # overlapping resolved span — keep the first
+                parts.append(html.escape(text[cursor:s]))
+                parts.append(
+                    '<span about="%s" property="%s">%s</span>'
+                    % (html.escape(subj), html.escape(prop), html.escape(text[s:e]))
+                )
+                cursor = e
+            parts.append(html.escape(text[cursor:]))
+            out.append("".join(parts))
+        return batch.append_column("rdfa", pa.array(out, pa.string()))
+
+
+def top_entities(annotated_ds, kb, k: int = 10):
+    """Top-k subjects by fused relevance score across the corpus
+    (requires annotate(..., rate=True) columns).  Returns a Dataset
+    (subj: string, score: float64) of length ≤ k."""
+    index = resolve_kb(kb)
+    uris = index.uris
+
+    def explode(batch: pa.Table) -> pa.Table:
+        subs, scores = [], []
+        for rs, sc in zip(
+            batch["rated_subj"].to_pylist(), batch["rated_score"].to_pylist()
+        ):
+            for s, v in zip(rs, sc):
+                subs.append(uris[s])
+                scores.append(v)
+        return pa.table(
+            {
+                "subj": pa.array(subs, pa.string()),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )
+
+    exploded = annotated_ds.map_batches(explode, batch_format="pyarrow")
+    # per-subject max score, then global top-k
+    from ray.data.aggregate import Max
+
+    ranked = exploded.groupby("subj").aggregate(Max("score", alias_name="score"))
+    return ranked.sort("score", descending=True).limit(k)

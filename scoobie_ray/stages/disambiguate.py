@@ -130,8 +130,13 @@ def make_resolver(name: str) -> Callable[..., Scores]:
 class Disambiguator:
     """Actor-pool map_batches stage; KB adjacency built once per actor."""
 
-    def __init__(self, kb, resolver: str = "degree"):
+    def __init__(self, kb, resolver: str = "degree", template=None):
         self.kb = resolve_kb(kb)
+        self.filter = (
+            template.resolve(self.kb)
+            if template is not None and hasattr(template, "resolve")
+            else template
+        )
         self.resolver_name = resolver
         self.resolver = make_resolver(resolver)
         # memo: sorted distinct-literal tuple -> {literal: (winner, prop)}
@@ -218,6 +223,8 @@ class Disambiguator:
         if hit is None:
             props, subs = self.kb.candidates_for_literal(lit)
             hit = (props.tolist(), subs.tolist())
+            if self.filter is not None:
+                hit = self.filter.filter_pairs(*hit)
             self._cand[lit] = hit
         return hit
 
@@ -243,7 +250,11 @@ class Disambiguator:
     def _distinct_candidates(self, lit: int) -> list[int]:
         hit = self._cand_distinct.get(lit)
         if hit is None:
-            _props, subs = self.kb.candidates_for_literal(lit)
+            if self.filter is not None:
+                _props, subs = self._candidates(lit)
+                subs = np.asarray(subs, dtype=np.int64)
+            else:
+                _props, subs = self.kb.candidates_for_literal(lit)
             hit = np.unique(subs).tolist() if len(subs) else []
             self._cand_distinct[lit] = hit
         return hit
@@ -372,7 +383,11 @@ class Disambiguator:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rms, rss, rps, rls = [], [], [], []
-        for lits in batch["mention_literal"].to_pylist():
+        if "mention_literal" in batch.column_names:
+            lits_col = batch["mention_literal"].to_pylist()
+        else:  # spotting disabled: nothing to resolve
+            lits_col = [[] for _ in range(len(batch))]
+        for lits in lits_col:
             rm, rs, rp, rl = self._resolve_doc(lits)
             rms.append(rm)
             rss.append(rs)

@@ -163,7 +163,11 @@ class FactStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = [_ListCol() for _ in range(8)]
-        for resolved in batch["resolved_subj"].to_pylist():
+        if "resolved_subj" in batch.column_names:
+            resolved_col = batch["resolved_subj"].to_pylist()
+        else:  # upstream slot disabled (DummyTask semantics): empty annotations
+            resolved_col = [[] for _ in range(len(batch))]
+        for resolved in resolved_col:
             self._doc(resolved, cols)
         names = [
             "known_s",

@@ -22,13 +22,22 @@ from .spot import resolve_kb
 
 
 class Linker:
-    def __init__(self, kb):
+    def __init__(self, kb, template=None):
         self.kb = resolve_kb(kb)
+        self.filter = (
+            template.resolve(self.kb)
+            if template is not None and hasattr(template, "resolve")
+            else template
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kb = self.kb
         cms, cps, css = [], [], []
-        for lits in batch["mention_literal"].to_pylist():
+        if "mention_literal" in batch.column_names:
+            lits_col = batch["mention_literal"].to_pylist()
+        else:
+            lits_col = [[] for _ in range(len(batch))]
+        for lits in lits_col:
             cm, cp, cs = [], [], []
             cache: dict[int, tuple[list[int], list[int]]] = {}
             for mi, lit in enumerate(lits):
@@ -36,6 +45,8 @@ class Linker:
                 if hit is None:
                     preds, subs = kb.candidates_for_literal(lit)
                     hit = (preds.tolist(), subs.tolist())
+                    if self.filter is not None:
+                        hit = self.filter.filter_pairs(*hit)
                     cache[lit] = hit
                 for p, s in zip(*hit):
                     cm.append(mi)

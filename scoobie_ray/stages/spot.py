@@ -1,4 +1,4 @@
-"""Dictionary mention detection — the entityRecognizer slot (slot 6).
+r"""Dictionary mention detection — the entityRecognizer slot (slot 6).
 
 Reimplements the semantics of RDFLiteralSpotting.java:58-136: find every
 occurrence of a KB literal in the document text, then apply
@@ -100,13 +100,21 @@ class Matcher:
     trie-factored regex with a zero-width lookahead capture, built once per
     actor from the broadcast literal dictionary)."""
 
-    def __init__(self, literals: list[str], config: SpotConfig | None = None):
+    def __init__(
+        self,
+        literals: list[str],
+        config: SpotConfig | None = None,
+        indices: list[int] | None = None,
+    ):
         self.config = config or SpotConfig()
         # map surface form -> candidate literal indexes
         self.exact: dict[str, int] = {}
         self.by_lower: dict[str, list[int]] = {}
         alts: set[str] = set()
-        for idx, lit in enumerate(literals):
+        items = (
+            zip(indices, literals) if indices is not None else enumerate(literals)
+        )
+        for idx, lit in items:
             if not lit:
                 continue
             self.exact[lit] = idx
@@ -167,9 +175,18 @@ class Spotter:
     fn_constructor_kwargs={"kb": kb_ref}, concurrency=N,
     batch_format="pyarrow")``.  The automaton is built once per actor."""
 
-    def __init__(self, kb, config: SpotConfig | None = None):
+    def __init__(self, kb, config: SpotConfig | None = None, template=None):
         self.kb = resolve_kb(kb)
-        self.matcher = Matcher(self.kb.literal_strings, config)
+        subset = None
+        if template is not None:
+            resolved = template.resolve(self.kb) if hasattr(template, "resolve") else template
+            subset = resolved.literal_subset()
+        if subset is None:
+            self.matcher = Matcher(self.kb.literal_strings, config)
+        else:
+            self.matcher = Matcher(
+                [self.kb.literal_strings[i] for i in subset], config, indices=subset
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..sources.docs import add_plain_text

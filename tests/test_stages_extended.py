@@ -1,0 +1,184 @@
+"""Tests for the extended stage set: POS/NP tagging, regex recognition,
+phrase classification, template filters, language ID, sinks, corpus
+readers, evaluation, and the 14-slot workflow facade."""
+
+import pyarrow as pa
+import pytest
+
+from scoobie_ray.evaluate import (
+    PR,
+    average_precision,
+    fact_prediction_accuracy,
+    set_pr,
+    triples_pr,
+)
+from scoobie_ray.kb.bundle import KBIndex
+from scoobie_ray.pipelines.extract import ExtractActor
+from scoobie_ray.pipelines.postprocess import RDFaSerializer
+from scoobie_ray.sources.docs import DOC_SCHEMA
+from scoobie_ray.sources.fixtures import kg_kb, smoke_docs, smoke_kb
+from scoobie_ray.stages.classify import PhraseClassifier
+from scoobie_ray.stages.regex_recognize import RegexRecognizer
+from scoobie_ray.stages.segment import segment_batch
+from scoobie_ray.stages.tag import NounPhraseChunker, POSTagger, noun_phrases
+from scoobie_ray.stages.template import TemplateFilter
+from scoobie_ray.workflow import Pipeline
+
+
+def _doc(text, doc_id="d1"):
+    return pa.Table.from_pylist(
+        [
+            {
+                "doc_id": doc_id,
+                "spans": [
+                    {"kind": "text", "text": text, "media_ref": "", "offset": 0}
+                ],
+            }
+        ],
+        schema=DOC_SCHEMA,
+    )
+
+
+def _tagged(text):
+    return NounPhraseChunker()(POSTagger()(segment_batch(_doc(text))))
+
+
+def test_pos_tagger_basics():
+    out = POSTagger()(segment_batch(_doc("The big dog runs in Berlin.")))
+    text = out["plain_text"].to_pylist()[0]
+    toks = [
+        text[s:e]
+        for s, e in zip(out["tok_start"].to_pylist()[0], out["tok_end"].to_pylist()[0])
+    ]
+    pos = out["tok_pos"].to_pylist()[0]
+    tag = dict(zip(toks, pos))
+    assert tag["The"] == "DT"
+    assert tag["in"] == "IN"
+    assert tag["Berlin"] == "NNP"
+    assert tag["."] == "."
+
+
+def test_np_chunker_and_phrase_repair():
+    out = _tagged("The big dog sees Berlin.")
+    nps = out["tok_np"].to_pylist()[0]
+    assert nps[0] == "B-NP"  # The
+    assert "I-NP" in nps
+    # dangling I-NP repair (Document.java:503-522)
+    phrases = noun_phrases([0, 4], [3, 7], ["I-NP", "I-NP"], "abc defg")
+    assert phrases == [(0, 7, "abc def")]
+
+
+def test_regex_recognizer():
+    out = RegexRecognizer()(_doc("Mail x@y.com on 2024-01-02 costs 3.5 units."))
+    names = out["regex_name"].to_pylist()[0]
+    starts = out["regex_start"].to_pylist()[0]
+    text = out["plain_text"].to_pylist()[0]
+    ends = out["regex_end"].to_pylist()[0]
+    surf = {n: text[s:e] for n, s, e in zip(names, starts, ends)}
+    assert surf["MAIL"] == "x@y.com"
+    assert surf["DATE"] == "2024-01-02"
+    assert surf["FLOAT"] == "3.5"
+
+
+def test_phrase_classifier_votes_kb_class():
+    kb = KBIndex(smoke_kb())
+    batch = _tagged("Zeus is a Person from myth.")
+    out = PhraseClassifier(kb, margin=0.5)(batch)
+    types = [kb.uri(t) for t in out["class_type"].to_pylist()[0]]
+    assert "http://example.org/ont/Person" in types
+
+
+def test_template_filter_scopes_extraction():
+    kb = KBIndex(kg_kb("/root/testdata/sf0.001"))
+    tpl = TemplateFilter(
+        datatype_properties=["http://www.w3.org/2000/01/rdf-schema#label"],
+        types=["http://example.org/ont/Nation"],
+    )
+    actor = ExtractActor(kb, template=tpl, emit="annotations")
+    batch = actor.annotate(
+        _doc("Supplier#000000002 operates in NATION_18.", doc_id="t1")
+    )
+    resolved = {kb.uri(s) for s in batch["resolved_subj"].to_pylist()[0]}
+    # supplier filtered out by the type filter; nation survives
+    assert resolved == {"http://example.org/nation/18"}
+
+
+def test_langid_stage_and_full_optional_chain():
+    kb = KBIndex(smoke_kb())
+    actor = ExtractActor(
+        kb,
+        emit="annotations",
+        segment=True,
+        tag=True,
+        regex=True,
+        classify=True,
+        langid=True,
+        rate=True,
+    )
+    out = actor.annotate(smoke_docs())
+    for col in [
+        "lang",
+        "tok_pos",
+        "tok_np",
+        "regex_start",
+        "class_type",
+        "rated_subj",
+        "resolved_subj",
+    ]:
+        assert col in out.column_names
+    assert out["lang"].to_pylist()[0] == "en"
+
+
+def test_rdfa_serializer():
+    kb = KBIndex(smoke_kb())
+    actor = ExtractActor(kb, emit="annotations")
+    out = RDFaSerializer(kb)(actor.annotate(smoke_docs()))
+    rdfa = out["rdfa"].to_pylist()[0]
+    assert '<span about="http://example.org/instance#Percy_Jackson"' in rdfa
+    assert "Percy Jackson</span>" in rdfa
+
+
+def test_workflow_facade_runs_and_matches_fused():
+    kb = KBIndex(smoke_kb())
+    pipe = Pipeline(kb=kb, enable_tagging=True, enable_regex=True)
+    out = pipe.run_local(smoke_docs())
+    fused = ExtractActor(kb, emit="annotations").annotate(smoke_docs())
+    assert out["resolved_subj"].to_pylist() == fused["resolved_subj"].to_pylist()
+    assert "tok_pos" in out.column_names
+    # DummyTask semantics: disabling the disambiguator drops its columns
+    pipe2 = Pipeline(kb=kb, overrides={"subjectDisambiguator": None})
+    out2 = pipe2.run_local(smoke_docs())
+    assert "resolved_subj" not in out2.column_names
+
+
+def test_corpus_reader(tmp_path):
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("Percy Jackson lives here.")
+    (d / "b.txt").write_text("Nothing.")
+    from scoobie_ray.sources.corpus import corpus_table, gold_table
+
+    t = corpus_table(str(d))
+    assert t.num_rows == 2
+    assert t["doc_id"].to_pylist() == ["a.txt", "b.txt"]
+    g = tmp_path / "gold"
+    g.mkdir()
+    (g / "a.txt").write_text("gold: http://example.org/instance#Percy_Jackson")
+    gt = gold_table(str(g))
+    assert gt["uri"].to_pylist() == ["http://example.org/instance#Percy_Jackson"]
+
+
+def test_evaluate_helpers():
+    pred = pa.table({"subj": ["a", "b"], "pred": ["p", "p"], "obj": ["x", "y"], "graph": ["known"] * 2})
+    gold = pa.table({"subj": ["a", "c"], "pred": ["p", "p"], "obj": ["x", "z"], "graph": ["known"] * 2})
+    pr = triples_pr(pred, gold)
+    assert (pr.tp, pr.fp, pr.fn) == (1, 1, 1)
+    assert pr.precision == 0.5 and pr.recall == 0.5
+    assert average_precision(["a", "b", "c"], {"a", "c"}) == pytest.approx(
+        (1.0 + 2 / 3) / 2
+    )
+    acc = fact_prediction_accuracy(
+        pa.table({"subj": ["a"], "pred": ["p"], "obj": ["x"]}),
+        pa.table({"subj": ["a"], "pred": ["p"], "obj": ["x"]}),
+    )
+    assert acc["accuracy"] == 1.0
