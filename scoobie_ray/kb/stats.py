@@ -1,0 +1,221 @@
+"""Offline KB statistics — the remaining PostgresKB analytics layer.
+
+- :func:`regex_distributions` — per (regex, datatype property): the share
+  of the property's literal values matching the regex, keeping ratios
+  above the threshold (PostgresKB.calculateRegexDistributions:1605-1631;
+  the reference keeps >0.9, PostgresKB.java:1617-1626);
+- :func:`coverage_ambiguity` — per (type, property): coverage (share of
+  the type's instances carrying the property) and mean ambiguity (mean
+  number of subjects sharing one of the property's literals)
+  (PostgresKB.getCoverageAmbiguity:1385-1422 over the histogram views);
+- :func:`document_frequency` — corpus doc-frequency per literal, a Ray
+  Dataset job over spotted docs (the reference builds a Lucene index,
+  TextCorpus.getLuceneIndex:141-176);
+- :func:`proper_name_ratings` — rating = coverage / ambiguity × IDF
+  (PostgresKB.calculateProperNameStatistics:1424-1484): which datatype
+  properties are good proper-name keys for a class;
+- :func:`property_kinds` — datatype vs object property probe
+  (PostgresKB.getPropertyType:852-875).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from .bundle import KBBundle
+
+
+def regex_distributions(
+    bundle: KBBundle, patterns: dict[str, str], threshold: float = 0.9
+) -> pa.Table:
+    """(regex_name, predicate, ratio) rows with ratio > threshold."""
+    sym = bundle.symbols
+    lits = bundle.literals["literal"].to_pylist()
+    preds = sym["predicate"].to_numpy(zero_copy_only=False)
+    objs = sym["object"].to_numpy(zero_copy_only=False)
+    out_name, out_pred, out_ratio = [], [], []
+    for name, rx in patterns.items():
+        compiled = re.compile(rx)
+        match_flags = np.fromiter(
+            (compiled.fullmatch(lits[o]) is not None for o in objs),
+            dtype=bool,
+            count=len(objs),
+        )
+        for p in np.unique(preds):
+            mask = preds == p
+            ratio = float(match_flags[mask].mean()) if mask.any() else 0.0
+            if ratio > threshold:
+                out_name.append(name)
+                out_pred.append(int(p))
+                out_ratio.append(ratio)
+    return pa.table(
+        {
+            "regex_name": pa.array(out_name, pa.string()),
+            "predicate": pa.array(out_pred, pa.int64()),
+            "ratio": pa.array(out_ratio, pa.float64()),
+        }
+    )
+
+
+def coverage_ambiguity(bundle: KBBundle) -> pa.Table:
+    """(type, predicate, coverage, ambiguity) per type/datatype-property."""
+    sym = bundle.symbols
+    types = bundle.types
+    type_of: dict[int, list[int]] = {}
+    for s, t in zip(types["subject"].to_pylist(), types["type"].to_pylist()):
+        type_of.setdefault(s, []).append(t)
+    n_instances: dict[int, int] = {}
+    for ts in type_of.values():
+        for t in ts:
+            n_instances[t] = n_instances.get(t, 0) + 1
+
+    # ambiguity per literal: #distinct subjects sharing it
+    lit_subjects: dict[int, set[int]] = {}
+    for s, o in zip(sym["subject"].to_pylist(), sym["object"].to_pylist()):
+        lit_subjects.setdefault(o, set()).add(s)
+
+    # per (type, predicate): covered instances + literal ambiguity sum/count
+    cov: dict[tuple[int, int], set[int]] = {}
+    amb_sum: dict[tuple[int, int], float] = {}
+    amb_n: dict[tuple[int, int], int] = {}
+    for s, p, o in zip(
+        sym["subject"].to_pylist(),
+        sym["predicate"].to_pylist(),
+        sym["object"].to_pylist(),
+    ):
+        for t in type_of.get(s, ()):
+            key = (t, p)
+            cov.setdefault(key, set()).add(s)
+            amb_sum[key] = amb_sum.get(key, 0.0) + len(lit_subjects[o])
+            amb_n[key] = amb_n.get(key, 0) + 1
+
+    rows = sorted(cov)
+    return pa.table(
+        {
+            "type": pa.array([t for t, _ in rows], pa.int64()),
+            "predicate": pa.array([p for _, p in rows], pa.int64()),
+            "coverage": pa.array(
+                [len(cov[k]) / max(1, n_instances.get(k[0], 1)) for k in rows],
+                pa.float64(),
+            ),
+            "ambiguity": pa.array(
+                [amb_sum[k] / max(1, amb_n[k]) for k in rows], pa.float64()
+            ),
+        }
+    )
+
+
+def document_frequency(docs_ds, kb, concurrency: int | None = 2) -> pa.Table:
+    """Doc frequency per KB literal over a corpus — spot each doc and count
+    distinct docs per literal (groupby aggregate over exploded mentions)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.spot import Spotter
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lits, ns = [], []
+        for ml in batch["mention_literal"].to_pylist():
+            for lit in set(ml):
+                lits.append(lit)
+                ns.append(1)
+        return pa.table(
+            {"literal": pa.array(lits, pa.int64()), "n": pa.array(ns, pa.int64())}
+        )
+
+    spotted = docs_ds.map_batches(
+        Spotter,
+        fn_constructor_kwargs={"kb": kb},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).map_batches(explode, batch_format="pyarrow")
+    df = spotted.groupby("literal").aggregate(Sum("n", alias_name="df"))
+    t = df.to_arrow_refs()
+    import ray
+
+    parts = [ray.get(r) for r in t]
+    import pyarrow as _pa
+
+    return _pa.concat_tables([p for p in parts if p.num_rows >= 0])
+
+
+def proper_name_ratings(
+    bundle: KBBundle,
+    cov_amb: pa.Table | None = None,
+    doc_freq: pa.Table | None = None,
+    n_docs: int = 1,
+) -> pa.Table:
+    """(cluster, predicate, rating, coverage, ambiguity, idf): rating =
+    coverage / ambiguity × mean IDF of the property's literals."""
+    if cov_amb is None:
+        cov_amb = coverage_ambiguity(bundle)
+    cluster_of = dict(
+        zip(
+            bundle.type_clusters["type"].to_pylist(),
+            bundle.type_clusters["cluster"].to_pylist(),
+        )
+    )
+    df_map: dict[int, int] = {}
+    if doc_freq is not None:
+        df_map = dict(
+            zip(doc_freq["literal"].to_pylist(), doc_freq["df"].to_pylist())
+        )
+    # mean idf per predicate over its literals
+    sym = bundle.symbols
+    idf_sum: dict[int, float] = {}
+    idf_n: dict[int, int] = {}
+    for p, o in zip(sym["predicate"].to_pylist(), sym["object"].to_pylist()):
+        df = df_map.get(o, 0)
+        idf = math.log((1 + n_docs) / (1 + df))
+        idf_sum[p] = idf_sum.get(p, 0.0) + idf
+        idf_n[p] = idf_n.get(p, 0) + 1
+
+    rows = []
+    for t, p, cov, amb in zip(
+        cov_amb["type"].to_pylist(),
+        cov_amb["predicate"].to_pylist(),
+        cov_amb["coverage"].to_pylist(),
+        cov_amb["ambiguity"].to_pylist(),
+    ):
+        idf = idf_sum.get(p, 0.0) / max(1, idf_n.get(p, 1))
+        rows.append(
+            {
+                "cluster": cluster_of.get(t, t),
+                "predicate": p,
+                "rating": (cov / max(amb, 1e-9)) * idf,
+                "coverage": cov,
+                "ambiguity": amb,
+                "idf": idf,
+            }
+        )
+    return pa.Table.from_pylist(rows) if rows else pa.table(
+        {
+            "cluster": pa.array([], pa.int64()),
+            "predicate": pa.array([], pa.int64()),
+            "rating": pa.array([], pa.float64()),
+            "coverage": pa.array([], pa.float64()),
+            "ambiguity": pa.array([], pa.float64()),
+            "idf": pa.array([], pa.float64()),
+        }
+    )
+
+
+def property_kinds(bundle: KBBundle) -> pa.Table:
+    """(predicate, kind) — 'datatype' | 'object' | 'both'
+    (PostgresKB.getPropertyType:852-875)."""
+    dt = set(bundle.symbols["predicate"].to_pylist())
+    ob = set(bundle.relations["predicate"].to_pylist())
+    preds = sorted(dt | ob)
+    kinds = [
+        "both" if p in dt and p in ob else ("datatype" if p in dt else "object")
+        for p in preds
+    ]
+    return pa.table(
+        {
+            "predicate": pa.array(preds, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+        }
+    )

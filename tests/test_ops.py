@@ -1,0 +1,219 @@
+"""Training-data ops tests: dedup family, similarity search, text
+analysis, multimodal plumbing — with planted duplicates and numpy oracles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from scoobie_ray.ops.dedup import (
+    char_shingles,
+    embedding_dedup,
+    exact_dedup,
+    jaccard,
+    minhash_dedup,
+    minhash_signature,
+    simhash64,
+    simhash_dedup,
+)
+from scoobie_ray.ops.multimodal import (
+    DecodeImage,
+    ExtractAudioFeatures,
+    ResizeImage,
+    SampleFrames,
+    media_table,
+)
+from scoobie_ray.ops.similarity import knn_bruteforce, knn_lsh
+from scoobie_ray.ops.text import (
+    LangId,
+    TextStats,
+    fingerprint_batch,
+    rolling_hashes,
+    winnow_fingerprint,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the band plays "
+    "a long and winding tune about shipping data pipelines at scale"
+)
+
+
+def _docs_table(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.string()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+
+@pytest.fixture()
+def dup_docs(ray_session):
+    import ray.data
+
+    rows = [
+        ("a", BASE),
+        ("b", BASE),  # exact duplicate of a
+        ("c", BASE.replace("lazy", "sleepy")),  # near-duplicate of a
+        ("d", "completely different text about astronomy and telescopes and "
+              "the mapping of distant galaxies through long exposures"),
+        ("e", "short unique snippet"),
+    ]
+    return ray.data.from_arrow(_docs_table(rows))
+
+
+def test_exact_dedup(dup_docs):
+    kept = sorted(r["doc_id"] for r in exact_dedup(dup_docs).take_all())
+    assert kept == ["a", "c", "d", "e"]  # b collapsed into a (min doc_id)
+
+
+def test_minhash_dedup_catches_near_dups(dup_docs):
+    kept = sorted(r["doc_id"] for r in minhash_dedup(dup_docs, threshold=0.6).take_all())
+    assert "a" in kept and "d" in kept and "e" in kept
+    assert "b" not in kept  # exact dup always caught
+    assert "c" not in kept  # near dup above threshold
+
+    # verify kernel agrees: true shingle jaccard of a vs c is high
+    ja = jaccard(
+        set(char_shingles(BASE).tolist()),
+        set(char_shingles(BASE.replace("lazy", "sleepy")).tolist()),
+    )
+    assert ja > 0.6
+
+
+def test_minhash_signature_estimates_jaccard():
+    s1 = char_shingles(BASE)
+    s2 = char_shingles(BASE.replace("lazy", "sleepy"))
+    m1 = minhash_signature(s1, 128)
+    m2 = minhash_signature(s2, 128)
+    est = (m1 == m2).mean()
+    true = jaccard(set(s1.tolist()), set(s2.tolist()))
+    assert abs(est - true) < 0.15
+
+
+def test_simhash_dedup(dup_docs):
+    kept = sorted(r["doc_id"] for r in simhash_dedup(dup_docs, max_hamming=3).take_all())
+    assert "b" not in kept  # identical simhash
+    assert "d" in kept and "e" in kept
+    h1, h2 = simhash64(BASE), simhash64(BASE.replace("lazy", "sleepy"))
+    assert bin(h1 ^ h2).count("1") <= 12  # near-dup = small hamming distance
+
+
+def test_embedding_dedup(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16).astype(np.float32)
+    rows = []
+    for i, vec in enumerate(
+        [base, base + 0.001, base * 2.0, rng.standard_normal(16).astype(np.float32)]
+    ):
+        rows.append({"vec_id": i, "embedding": [float(x) for x in vec]})
+    ds = ray.data.from_items(rows)
+    kept = sorted(r["vec_id"] for r in embedding_dedup(ds, dim=16, threshold=0.999).take_all())
+    # 0, 1, 2 are colinear (cosine ~1): representative 0 survives; 3 distinct
+    assert kept == [0, 3]
+
+
+def test_knn_bruteforce_matches_numpy(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((50, 8)).astype(np.float64)
+    rows = [
+        {"vec_id": i, "embedding": [float(x) for x in mat[i]]} for i in range(50)
+    ]
+    ds = ray.data.from_items(rows)
+    out = knn_bruteforce(ds, [0, 1], mat[:2], k=3)
+    # numpy oracle
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for q in (0, 1):
+        scores = normed @ normed[q]
+        expect = np.argsort(-scores, kind="stable")[:3].tolist()
+        got = [
+            r["vec_id"]
+            for r in out.to_pylist()
+            if r["query_id"] == q
+        ]
+        assert got == expect
+
+
+def test_knn_lsh_finds_self(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((80, 16)).astype(np.float64)
+    rows = [
+        {"vec_id": i, "embedding": [float(x) for x in mat[i]]} for i in range(80)
+    ]
+    ds = ray.data.from_items(rows)
+    out = knn_lsh(ds, [4], mat[4:5], dim=16, k=3)
+    got = [r for r in out.to_pylist() if r["rank"] == 0]
+    assert got and got[0]["vec_id"] == 4  # the query itself survives probing
+
+
+def test_text_stats_and_fingerprint():
+    t = _docs_table([("x", "Hello big world. Twice!"), ("y", "")])
+    out = TextStats()(t)
+    assert out["n_tokens"].to_pylist() == [4, 0]
+    assert out["n_punct"].to_pylist() == [2, 0]
+    fp = fingerprint_batch(t)
+    assert fp["fingerprint"].to_pylist()[0] == fingerprint_batch(t)["fingerprint"].to_pylist()[0]
+
+
+def test_langid_profiles():
+    t = _docs_table(
+        [
+            ("en", "the cat and the dog sat on a mat for the king of the hill"),
+            ("es", "el perro y la casa de los reyes en una tierra por la noche"),
+        ]
+    )
+    out = LangId()(t)
+    assert out["lang_pred"].to_pylist() == ["en", "es"]
+
+
+def test_rolling_hash_windowing():
+    h1 = rolling_hashes("abcdefghij" * 4, window=8)
+    h2 = rolling_hashes("abcdefghij" * 4, window=8)
+    assert h1 == h2 and len(h1) > 0
+    assert winnow_fingerprint("abcdefghij" * 4) == winnow_fingerprint("abcdefghij" * 4)
+
+
+def test_multimodal_fake_stages():
+    t = media_table(
+        [
+            {
+                "media_ref": "media://img/1",
+                "kind": "image",
+                "payload": b"abc",
+                "width": 100,
+                "height": 50,
+                "duration_ms": 0,
+            },
+            {
+                "media_ref": "media://vid/2",
+                "kind": "video",
+                "payload": b"xyz",
+                "width": 0,
+                "height": 0,
+                "duration_ms": 2500,
+            },
+        ]
+    )
+    feats = DecodeImage(fake=True)(t)
+    assert len(feats["image_features"].to_pylist()[0]) == 64
+    # deterministic: same payload digest -> same features
+    again = DecodeImage(fake=True)(t)
+    assert feats["image_features"].to_pylist() == again["image_features"].to_pylist()
+
+    resized = ResizeImage(64, 64, fake=True)(t)
+    assert resized["width"].to_pylist() == [64, 64]
+
+    frames = SampleFrames(fps=2.0, fake=True)(t)
+    vid = [r for r in frames.to_pylist() if r["media_ref"] == "media://vid/2"]
+    assert len(vid) == 5  # 2.5s at 2fps
+
+    audio = ExtractAudioFeatures(fake=True)(t)
+    assert len(audio["audio_features"].to_pylist()[0]) == 32
+
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False)(t)
