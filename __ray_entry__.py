@@ -108,6 +108,84 @@ def _q_knn_lsh(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+def _q_np_chunks(sf_dir: str):
+    """Noun-phrase counts per doc over the documents table (rows-only:
+    the POS heuristic is not SQL-expressible)."""
+    import pyarrow as pa
+    import ray.data
+
+    from scoobie_ray.stages.segment import segment_batch
+    from scoobie_ray.stages.tag import NounPhraseChunker, POSTagger, noun_phrases
+
+    def to_docs(t: pa.Table) -> pa.Table:
+        from scoobie_ray.sources.docs import DOC_SCHEMA
+
+        rows = [
+            {
+                "doc_id": str(i),
+                "spans": [{"kind": "text", "text": x, "media_ref": "", "offset": 0}],
+            }
+            for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        ]
+        return pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
+
+    tagger, chunker = POSTagger(), NounPhraseChunker()
+
+    def count_phrases(t: pa.Table) -> pa.Table:
+        t = chunker(tagger(segment_batch(t)))
+        n = [
+            len(noun_phrases(s, e, np_, text))
+            for s, e, np_, text in zip(
+                t["tok_start"].to_pylist(),
+                t["tok_end"].to_pylist(),
+                t["tok_np"].to_pylist(),
+                t["plain_text"].to_pylist(),
+            )
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_phrases": pa.array(n, pa.int64())}
+        )
+
+    return (
+        _documents(sf_dir)
+        .map_batches(to_docs, batch_format="pyarrow")
+        .map_batches(count_phrases, batch_format="pyarrow")
+    )
+
+
+def _q_kg_rated(sf_dir: str):
+    """Corpus-level top-20 entities by fused relevance (ListSerializer
+    semantics; rows-only: float scores)."""
+    import ray
+    import ray.data
+
+    from scoobie_ray.pipelines.extract import annotate_docs
+    from scoobie_ray.pipelines.postprocess import top_entities
+    from scoobie_ray.sources.fixtures import kg_docs_table, kg_kb
+
+    kb = kg_kb(sf_dir)
+    kb_ref = ray.put(kb.tables())
+    docs = ray.data.from_arrow(kg_docs_table(sf_dir))
+    annotated = annotate_docs(docs, kb_ref, concurrency=2, rate=True, segment=True)
+    return top_entities(annotated, kb_ref, k=20).drop_columns(["score"])
+
+
+def _q_dedup_embedding(sf_dir: str):
+    from scoobie_ray.ops.dedup import embedding_dedup
+    import pyarrow.parquet as pq
+    import ray.data
+
+    dim = len(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])[
+            "embedding"
+        ][0].as_py()
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_dedup(ds, dim=dim, threshold=0.98).select_columns(["vec_id"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from scoobie_ray.pipelines import views
     from scoobie_ray.relational import queries as rq
@@ -133,6 +211,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "knn_bruteforce": _q_knn,
         "knn_lsh": _q_knn_lsh,
+        "dedup_embedding": _q_dedup_embedding,
+        "np_chunks": _q_np_chunks,
+        "kg_rated": _q_kg_rated,
         # --- relational surface ---
         "q1_pricing": rq.q1_pricing,
         "nation_lineitem_counts": rq.nation_lineitem_counts,
@@ -141,6 +222,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts": rq.top_parts,
         "orders_by_status": rq.orders_by_status,
         "supplier_nation_join": rq.supplier_nation_join,
+        "events_top_users": rq.events_top_users,
+        "distinct_event_types": rq.distinct_event_types,
+        "lineitem_yearly": rq.lineitem_yearly,
+        "part_size_histogram": rq.part_size_histogram,
+        "customer_segments": rq.customer_segments,
     }
 
 

@@ -382,6 +382,30 @@ ORACLES["orders_by_status"] = """
 SELECT o_orderstatus, count(*) AS n_orders FROM orders GROUP BY o_orderstatus
 """
 
+ORACLES["events_top_users"] = """
+SELECT user_id, count(*) AS n_events
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id LIMIT 10
+"""
+
+ORACLES["distinct_event_types"] = """
+SELECT DISTINCT event_type FROM events
+"""
+
+ORACLES["lineitem_yearly"] = """
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year, count(*) AS n_items
+FROM lineitem GROUP BY ship_year
+"""
+
+ORACLES["part_size_histogram"] = """
+SELECT CAST(p_size AS BIGINT) AS p_size, count(*) AS n_parts
+FROM part GROUP BY p_size
+"""
+
+ORACLES["customer_segments"] = """
+SELECT c_mktsegment, count(*) AS n_customers FROM customer GROUP BY c_mktsegment
+"""
+
 ORACLES["supplier_nation_join"] = """
 SELECT r_name, count(*) AS n_suppliers
 FROM supplier JOIN nation ON s_nationkey = n_nationkey

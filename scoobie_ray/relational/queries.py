@@ -248,6 +248,133 @@ def orders_by_status(sf_dir: str):
     )
 
 
+def events_top_users(sf_dir: str, k: int = 10):
+    """Top-k users by event count (count desc, user_id asc).
+    Output: user_id:int64, n_events:int64."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([("user_id", "count")])
+        return g.rename_columns(["user_id", "part_n"])
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("part_n", alias_name="n_f"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_f"], pa.int64())
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "n_events": n,
+                "neg_n": pc.multiply(n, pa.scalar(-1, pa.int64())),
+            }
+        )
+
+    return (
+        agg.map_batches(finalize, batch_format="pyarrow")
+        .sort(["neg_n", "user_id"])
+        .limit(k)
+        .drop_columns(["neg_n"])
+    )
+
+
+def distinct_event_types(sf_dir: str):
+    """Distinct values via Dataset.unique-style groupby.
+    Output: event_type."""
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by("event_type").aggregate([]).select(["event_type"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+
+def lineitem_yearly(sf_dir: str):
+    """Per-year lineitem counts (temporal bucketing at year granularity).
+    Output: ship_year:int64, n_items:int64."""
+    from ray.data.aggregate import Sum
+
+    def bucket(t: pa.Table) -> pa.Table:
+        years = pc.year(t["l_shipdate"])
+        tt = pa.table({"ship_year": pc.cast(years, pa.int64())})
+        g = tt.group_by("ship_year").aggregate([("ship_year", "count")])
+        return g.rename_columns(["ship_year", "part_n"])
+
+    ds = _read(sf_dir, "lineitem", ["l_shipdate"])
+    agg = (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ship_year")
+        .aggregate(Sum("part_n", alias_name="n_f"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "ship_year": pc.cast(t["ship_year"], pa.int64()),
+                "n_items": pc.cast(t["n_f"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def part_size_histogram(sf_dir: str):
+    """Histogram over p_size. Output: p_size:int64, n_parts:int64."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("p_size").aggregate([("p_size", "count")])
+        return g.rename_columns(["p_size", "part_n"])
+
+    ds = _read(sf_dir, "part", ["p_size"])
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_size")
+        .aggregate(Sum("part_n", alias_name="n_f"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "p_size": pc.cast(t["p_size"], pa.int64()),
+                "n_parts": pc.cast(t["n_f"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def customer_segments(sf_dir: str):
+    """Counts per market segment. Output: c_mktsegment, n_customers:int64."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_mktsegment").aggregate([("c_mktsegment", "count")])
+        return g.rename_columns(["c_mktsegment", "part_n"])
+
+    ds = _read(sf_dir, "customer", ["c_mktsegment"])
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("part_n", alias_name="n_f"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "n_customers": pc.cast(t["n_f"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def supplier_nation_join(sf_dir: str):
     """Broadcast small-side hash join: supplier × nation × region, counted
     per region.  Output: r_name, n_suppliers:int64."""
