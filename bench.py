@@ -82,6 +82,7 @@ def run_bench() -> dict:
     from scoobie_ray.pipelines.extract import extract_triples
     from scoobie_ray.sources.docs import read_docs
     from scoobie_ray.sources.fixtures import kg_kb
+    from scoobie_ray.stages.serialize import decode_triples
 
     docs_path = stage_docs(SF_DIR)
     with open(docs_path, "rb") as f:  # warm the page cache (untimed)
@@ -102,9 +103,9 @@ def run_bench() -> dict:
     t0 = time.time()
     docs = read_docs(docs_path, override_num_blocks=128)
     canon = canonicalize(
-        extract_triples(docs, kb, concurrency=pool, batch_size=1024)
+        extract_triples(docs, kb, concurrency=pool, batch_size=1024, encoded=True)
     )
-    canon.write_parquet(out_dir)
+    decode_triples(canon, kb).write_parquet(out_dir)
     headline = time.time() - t0
     queries["kg_triples_e2e"] = round(headline, 3)
 
@@ -191,7 +192,12 @@ def run_scaling() -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(
-            os.environ, RAY_GRAFT_CPUS=str(ncpu), SCOOBIE_BENCH_HEADLINE_ONLY="1"
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            SCOOBIE_BENCH_HEADLINE_ONLY="1",
+            # longer runs dilute the ~4s fixed session/actor-pool startup
+            # that otherwise taxes the high-parallelism side
+            SCOOBIE_BENCH_REPLICAS=os.environ.get("SCOOBIE_BENCH_REPLICAS", "80"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

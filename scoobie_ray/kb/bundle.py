@@ -160,10 +160,35 @@ class KBIndex:
         self.out = _CSR(rs, rp, ro)
         self.inc = _CSR(ro, rp, rs)
 
+        # non-rdf:type adjacency, prebuilt once (the disambiguation and
+        # fact stages always exclude type edges — per-subject filtering in
+        # the hot path would otherwise be each actor's dominant warm cost)
+        self.type_pred = self._lookup_uri(RDF_TYPE)
+        if self.type_pred is not None:
+            nt = rp != self.type_pred
+            self.out_nt = _CSR(rs[nt], rp[nt], ro[nt])
+            self.inc_nt = _CSR(ro[nt], rp[nt], rs[nt])
+        else:
+            self.out_nt = self.out
+            self.inc_nt = self.inc
+
         typ = bundle.types
         self._types = _CSR(
             _np(typ["subject"]), np.zeros(len(typ), dtype=np.int64), _np(typ["type"])
         )
+
+        # distinct candidate subjects per literal (collapses multi-property
+        # duplicates once, vectorized, instead of per-literal np.unique in
+        # every actor)
+        so, ss = _np(sym["object"]), _np(sym["subject"])
+        if len(so):
+            width = int(max(ss.max(), 1)) + 1
+            packed = np.unique(so * width + ss)
+            self._sym_d = _CSR(
+                packed // width, np.zeros(len(packed), dtype=np.int64), packed % width
+            )
+        else:
+            self._sym_d = _CSR(so, so, ss)
 
         tc = bundle.type_clusters
         self.cluster_of: dict[int, int] = dict(
@@ -188,6 +213,15 @@ class KBIndex:
             for (a, b), s0, s1 in zip(uniq.tolist(), starts, stops):
                 self._markov[(a, b)] = (pr[s0:s1], pb[s0:s1])
 
+    def _lookup_uri(self, uri: str) -> int | None:
+        """Binary search on the rank-sorted uri list (no dict build)."""
+        import bisect
+
+        i = bisect.bisect_left(self.uris, uri)
+        if i < len(self.uris) and self.uris[i] == uri:
+            return i
+        return None
+
     # --- dictionaries -------------------------------------------------
     def uri(self, idx: int) -> str:
         return self.uris[idx]
@@ -210,6 +244,16 @@ class KBIndex:
         """(predicates, subjects) holding this literal — the hash-join side
         of InstanceRecognition (PostgresKB.getInstanceCandidates:210-247)."""
         return self._sym.neighbors(literal_idx)
+
+    def distinct_candidates(self, literal_idx: int) -> np.ndarray:
+        """Sorted distinct candidate subjects for a literal (array view)."""
+        return self._sym_d.neighbors(literal_idx)[1]
+
+    def outgoing_nontype(self, subject_idx: int) -> tuple[np.ndarray, np.ndarray]:
+        return self.out_nt.neighbors(subject_idx)
+
+    def incoming_nontype(self, object_idx: int) -> tuple[np.ndarray, np.ndarray]:
+        return self.inc_nt.neighbors(object_idx)
 
     def types_of(self, subject_idx: int) -> np.ndarray:
         return self._types.neighbors(subject_idx)[1]

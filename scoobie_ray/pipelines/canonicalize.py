@@ -25,16 +25,35 @@ from __future__ import annotations
 import pyarrow as pa
 
 KEY = ["subj", "pred", "obj", "graph"]
+KEY_ENCODED = ["s", "p", "o", "o_is_lit", "g"]
+
+
+def _keys_of(batch: pa.Table) -> list[str]:
+    return KEY_ENCODED if "s" in batch.column_names else KEY
 
 
 def _local_combine(batch: pa.Table) -> pa.Table:
-    g = batch.group_by(KEY).aggregate([("belief", "max"), ("doc_id", "count")])
-    return g.rename_columns(KEY + ["belief", "n_docs"])
+    from ..util import limit_worker_threads
+
+    limit_worker_threads(1)
+    keys = _keys_of(batch)
+    if keys is KEY_ENCODED:
+        g = batch.group_by(keys).aggregate([("s", "count")])
+        return g.rename_columns(keys + ["n_docs"])
+    g = batch.group_by(keys).aggregate([("belief", "max"), ("doc_id", "count")])
+    return g.rename_columns(keys + ["belief", "n_docs"])
 
 
 def _combine2(batch: pa.Table) -> pa.Table:
-    g = batch.group_by(KEY).aggregate([("belief", "max"), ("n_docs", "sum")])
-    return g.rename_columns(KEY + ["belief", "n_docs"])
+    from ..util import limit_worker_threads
+
+    limit_worker_threads(1)
+    keys = _keys_of(batch)
+    if keys is KEY_ENCODED:
+        g = batch.group_by(keys).aggregate([("n_docs", "sum")])
+        return g.rename_columns(keys + ["n_docs"])
+    g = batch.group_by(keys).aggregate([("belief", "max"), ("n_docs", "sum")])
+    return g.rename_columns(keys + ["belief", "n_docs"])
 
 
 def canonicalize(
@@ -108,6 +127,11 @@ def _groupby_finish(combined_ds, num_partitions: int | None):
 
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(4, min(64, cpus // 2))
+    schema_names = combined_ds.schema().names
+    if "s" in schema_names:
+        return combined_ds.groupby(
+            KEY_ENCODED, num_partitions=num_partitions
+        ).aggregate(Sum("n_docs", alias_name="n_docs"))
     return combined_ds.groupby(KEY, num_partitions=num_partitions).aggregate(
         Max("belief", alias_name="belief"),
         Sum("n_docs", alias_name="n_docs"),

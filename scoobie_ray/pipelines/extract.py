@@ -50,6 +50,7 @@ class ExtractActor:
         markov_k: int = 1,
         case_sensitive: bool = True,
         emit: str = "triples",  # "triples" | "annotations"
+        encoded: bool = False,
         rate: bool = False,
         template=None,
         segment: bool = False,
@@ -58,6 +59,9 @@ class ExtractActor:
         classify: bool = False,
         langid: bool = False,
     ):
+        from ..util import limit_worker_threads
+
+        limit_worker_threads(1)  # actor reserves 1 CPU: keep Arrow to it
         index = resolve_kb(kb)  # one ray.get + index build per actor
         resolved = template.resolve(index) if template is not None else None
         cfg = SpotConfig(case_sensitive=case_sensitive)
@@ -66,7 +70,7 @@ class ExtractActor:
         self.disambiguate = Disambiguator(index, resolver=resolver, template=resolved)
         self.facts = FactStage(index, markov_k=markov_k)
         self.rater = RelevanceRater(index) if rate else None
-        self.serializer = TripleSerializer(index)
+        self.serializer = TripleSerializer(index, encoded=encoded)
         self.emit = emit
         self.segment = segment or tag or classify
         self.tagger = None
@@ -148,8 +152,13 @@ def extract_triples(
     resolver: str = "degree",
     markov_k: int = 1,
     case_sensitive: bool = True,
+    encoded: bool = False,
 ):
-    """docs Dataset -> triples Dataset (uncanonicalized, with doc_id)."""
+    """docs Dataset -> triples Dataset.
+
+    ``encoded=True``: dictionary-index columns (s, p, o, o_is_lit, g) —
+    the scale path feeding canonicalize + decode_triples; otherwise URI
+    strings with doc_id provenance."""
     return docs_ds.map_batches(
         ExtractActor,
         fn_constructor_kwargs={
@@ -157,6 +166,7 @@ def extract_triples(
             "resolver": resolver,
             "markov_k": markov_k,
             "case_sensitive": case_sensitive,
+            "encoded": encoded,
         },
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -162,10 +162,14 @@ def kg_predicted(sf_dir: str):
 
 
 def kg_triples(sf_dir: str, concurrency=2):
+    from ..stages.serialize import decode_triples
+
     kb, kb_ref = _kb_and_ref(sf_dir)
-    triples = extract_triples(_docs_ds(sf_dir), kb_ref, concurrency=concurrency)
+    triples = extract_triples(
+        _docs_ds(sf_dir), kb_ref, concurrency=concurrency, encoded=True
+    )
     canon = canonicalize(triples)
-    return canon.drop_columns(["belief", "n_docs"])
+    return decode_triples(canon, kb_ref).drop_columns(["belief", "n_docs"])
 
 
 def kg_spans(sf_dir: str):

@@ -38,6 +38,7 @@ import pyarrow as pa
 from .spot import resolve_kb
 
 Scores = dict[int, float]
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
 
 
 def _graph_degree(lit_edges: Scores, out_adj: dict[int, list[int]], in_adj: dict[int, list[int]], nodes: set[int]) -> Scores:
@@ -145,6 +146,7 @@ class Disambiguator:
         self._cand: dict[int, tuple[list[int], list[int]]] = {}
         self._cand_distinct: dict[int, list[int]] = {}
         self._anchor_nbrs: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._prop_map: dict[int, dict[int, int]] = {}
         tp = self.kb.bundle.meta.get("type_predicate_index")
         if tp is None:
             tp = self.kb.uri_index(
@@ -178,7 +180,7 @@ class Disambiguator:
             for s in subs:
                 lit_edges[s] = lit_edges.get(s, 0.0) + 1.0
 
-        anchors = {subs[0] for subs in lit_candidates.values() if len(subs) == 1}
+        anchors = {int(subs[0]) for subs in lit_candidates.values() if len(subs) == 1}
         out_adj: dict[int, list[int]] = {}
         in_adj: dict[int, list[int]] = {}
 
@@ -229,33 +231,36 @@ class Disambiguator:
         return hit
 
     def _anchor_neighbors(self, a: int) -> tuple[np.ndarray, np.ndarray]:
-        hit = self._anchor_nbrs.get(a)
-        if hit is None:
-            preds, objs = self.kb.outgoing(a)
-            out_arr = (
-                objs[(preds != self.type_pred) & (objs != a)].astype(np.int64)
-                if len(objs)
-                else objs.astype(np.int64)
-            )
-            preds, subs = self.kb.incoming(a)
-            in_arr = (
-                subs[(preds != self.type_pred) & (subs != a)].astype(np.int64)
-                if len(subs)
-                else subs.astype(np.int64)
-            )
-            hit = (out_arr, in_arr)
-            self._anchor_nbrs[a] = hit
-        return hit
+        """Non-type neighbor arrays straight from the prebuilt index CSRs
+        (zero per-actor warm cost; a rare self-loop scores only the anchor
+        itself, which is never an ambiguous candidate — harmless)."""
+        return (
+            self.kb.outgoing_nontype(a)[1],
+            self.kb.incoming_nontype(a)[1],
+        )
 
-    def _distinct_candidates(self, lit: int) -> list[int]:
+    def _prop_for(self, lit: int, subj: int) -> int:
+        """First (property) under which ``subj`` carries literal ``lit``
+        (cached subj->prop map per literal)."""
+        m = self._prop_map.get(lit)
+        if m is None:
+            props, csubs = self._candidates(lit)
+            m = {}
+            for p, s in zip(props, csubs):
+                m.setdefault(s, p)
+            self._prop_map[lit] = m
+        return m[subj]
+
+    def _distinct_candidates(self, lit: int) -> np.ndarray:
+        """Sorted distinct candidate subjects (prebuilt CSR view; the
+        template-filtered path computes and caches its own subset)."""
+        if self.filter is None:
+            return self.kb.distinct_candidates(lit)
         hit = self._cand_distinct.get(lit)
         if hit is None:
-            if self.filter is not None:
-                _props, subs = self._candidates(lit)
-                subs = np.asarray(subs, dtype=np.int64)
-            else:
-                _props, subs = self.kb.candidates_for_literal(lit)
-            hit = np.unique(subs).tolist() if len(subs) else []
+            _props, subs = self._candidates(lit)
+            subs = np.asarray(subs, dtype=np.int64)
+            hit = np.unique(subs) if len(subs) else _EMPTY_I64
             self._cand_distinct[lit] = hit
         return hit
 
@@ -271,10 +276,10 @@ class Disambiguator:
         the graph resolver path (same degree contributions, same
         min-subject-index tie-break)."""
         winners: dict[int, int] = {}
-        ambiguous: dict[int, list[int]] = {}
+        ambiguous: dict[int, np.ndarray] = {}
         for lit, subs in lit_candidates.items():
             if len(subs) == 1:
-                winners[lit] = subs[0]
+                winners[lit] = int(subs[0])
             else:
                 ambiguous[lit] = subs
         if not ambiguous:
@@ -292,29 +297,26 @@ class Disambiguator:
             pos[pos >= len(node_arr)] = 0
             return pos[(node_arr[pos] == arr)] if len(arr) else pos
 
-        # literal edges: +1 per literal naming the candidate
-        for subs in lit_candidates.values():
-            arr = np.asarray(subs, dtype=np.int64)
-            hits = _pos(arr)
-            np.add.at(scores, hits, 1.0)
-
-        # anchor-centric KB edges (skip rdf:type); filtered neighbor arrays
-        # are cached per subject across documents
+        # literal edges (+1 per literal naming the candidate) and anchor
+        # KB edges — gathered into ONE concatenated array so the doc pays
+        # a single searchsorted + add.at instead of one per literal/anchor
+        contrib: list[np.ndarray] = list(lit_candidates.values())
         for a in set(winners.values()):
             out_arr, in_arr = self._anchor_neighbors(a)
             if len(out_arr):
-                np.add.at(scores, _pos(out_arr), 1.0)
+                contrib.append(out_arr)
             if len(in_arr):
-                np.add.at(scores, _pos(in_arr), 1.0)
+                contrib.append(in_arr)
+        if contrib:
+            np.add.at(scores, _pos(np.concatenate(contrib)), 1.0)
 
-        for lit, subs in ambiguous.items():
-            arr = np.asarray(subs, dtype=np.int64)
+        for lit, arr in ambiguous.items():
             pos = np.searchsorted(node_arr, arr)
             sc = scores[pos]
             if sc.max() == sc.min() and len(arr) <= 512:
                 # fallback: direct expansion among ambiguous candidates
                 # (the reference's backward pass, :409-435)
-                for s in subs:
+                for s in arr.tolist():
                     preds, objs = self.kb.outgoing(s)
                     if len(objs):
                         sel = objs[(preds != self.type_pred) & (objs != s)]
@@ -336,7 +338,7 @@ class Disambiguator:
         winners = self._memo.get(distinct_lits)
         if winners is not None:
             return winners
-        lit_candidates: dict[int, list[int]] = {}
+        lit_candidates: dict[int, np.ndarray] = {}
         for lit in distinct_lits:
             subs = self._distinct_candidates(lit)
             if len(subs):
@@ -345,20 +347,19 @@ class Disambiguator:
             winners = {}
         elif self.resolver_name == "degree":
             flat = self._winners_degree(lit_candidates)
-            winners = {}
-            for lit, win in flat.items():
-                props, csubs = self._candidates(lit)
-                prop = next(p for p, s in zip(props, csubs) if s == win)
-                winners[lit] = (win, prop)
+            winners = {
+                lit: (win, self._prop_for(lit, win)) for lit, win in flat.items()
+            }
         else:
             lit_edges, out_adj, in_adj, nodes = self._graph_for(lit_candidates)
             scores = self.resolver(lit_edges, out_adj, in_adj, nodes)
             winners = {}
             for lit, subs in lit_candidates.items():
-                win = min(subs, key=lambda s: (-scores.get(s, 0.0), s))
-                props, csubs = self._candidates(lit)
-                prop = next(p for p, s in zip(props, csubs) if s == win)
-                winners[lit] = (win, prop)
+                win = min(
+                    (int(x) for x in subs),
+                    key=lambda s: (-scores.get(s, 0.0), s),
+                )
+                winners[lit] = (win, self._prop_for(lit, win))
         if len(self._memo) > 200_000:
             self._memo.clear()
         self._memo[distinct_lits] = winners

@@ -76,14 +76,8 @@ class FactStage:
     def _subject_out(self, s: int):
         hit = self._out.get(s)
         if hit is None:
-            preds, objs = self.kb.outgoing(s)
-            if len(preds):
-                is_type = preds == self.type_pred
-                k_p = preds[~is_type]
-                k_o = objs[~is_type]
-                t_o = objs[is_type]
-            else:
-                k_p = k_o = t_o = _EMPTY
+            k_p, k_o = self.kb.outgoing_nontype(s)
+            t_o = self.kb.types_of(s)
             hit = (
                 np.full(len(k_p), s, dtype=np.int64),
                 k_p.astype(np.int64),

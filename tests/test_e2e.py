@@ -82,3 +82,26 @@ def test_kg_corpus_sf0001(ray_session):
     # every nation (25) + region (5) + supplier (10) + customer (150) gets a
     # label triple; customers also get alias label triples for resolved aliases
     assert len(recognized) > 190
+
+
+def test_encoded_path_matches_string_path(ray_session):
+    """The dictionary-encoded scale path must decode to exactly the
+    string-path canonical triple set."""
+    import ray.data
+
+    from scoobie_ray.sources.fixtures import kg_docs_table, kg_kb
+    from scoobie_ray.stages.serialize import decode_triples
+
+    sf = "/root/testdata/sf0.001"
+    kb = kg_kb(sf)
+    docs = ray.data.from_arrow(kg_docs_table(sf))
+    strings = canonicalize(
+        extract_triples(docs, kb, concurrency=1)
+    ).take_all()
+    encoded = decode_triples(
+        canonicalize(extract_triples(docs, kb, concurrency=1, encoded=True)), kb
+    ).take_all()
+    key = lambda r: (r["subj"], r["pred"], r["obj"], r["graph"])
+    a = sorted((key(r), r["n_docs"]) for r in strings)
+    b = sorted((key(r), r["n_docs"]) for r in encoded)
+    assert a == b
