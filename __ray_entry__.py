@@ -108,6 +108,17 @@ def _q_knn_lsh(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+def _q_kg_media(sf_dir: str):
+    """Media spans exploded from the interleaved docs (the multimodal
+    plumbing surface)."""
+    import ray.data
+
+    from scoobie_ray.pipelines.media import media_refs
+    from scoobie_ray.sources.fixtures import kg_docs_table
+
+    return media_refs(ray.data.from_arrow(kg_docs_table(sf_dir)))
+
+
 def _q_np_chunks(sf_dir: str):
     """Noun-phrase counts per doc over the documents table (rows-only:
     the POS heuristic is not SQL-expressible)."""
@@ -199,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_predicted": views.kg_predicted,
         "kg_triples": views.kg_triples,
         "kg_spans": views.kg_spans,
+        "kg_media": _q_kg_media,
         "kb_resources": views.kb_resources,
         "kb_cardinalities": views.kb_cardinalities,
         "kb_markov": views.kb_markov,

@@ -240,6 +240,18 @@ FROM docparts WHERE key % 3 = 1
 """
 )
 
+ORACLES["kg_media"] = (
+    f"{_KG_PREFIX} "
+    """
+SELECT doc_id, CAST(1 AS BIGINT) AS span_idx, 'image' AS kind,
+       'media://img/' || doc_id AS media_ref
+FROM docparts WHERE key % 3 = 0
+UNION ALL
+SELECT doc_id, CAST(2 AS BIGINT), 'audio', 'media://aud/' || doc_id
+FROM docparts WHERE key % 3 = 1
+"""
+)
+
 ORACLES["kb_resources"] = (
     f"WITH {LABELS}, uris AS ("
     "  SELECT DISTINCT uri FROM labels"

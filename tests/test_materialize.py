@@ -72,3 +72,54 @@ def test_partition_digests_deterministic(tmp_path, run_partition):
     da = load_manifest(out_a)["shard-0"]
     db = load_manifest(out_b)["shard-0"]
     assert da["rows"] == db["rows"]
+
+
+def test_run_extract_job_cli(tmp_path, ray_session):
+    """The ray-job entry point end-to-end: partitioned run, resume, finalize."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    from scoobie_ray.sources.fixtures import kg_docs_table, kg_kb
+
+    kb_dir = str(tmp_path / "kb")
+    docs_path = str(tmp_path / "docs.parquet")
+    out_dir = str(tmp_path / "out")
+    kg_kb(SF).write(kb_dir)
+    pq.write_table(kg_docs_table(SF), docs_path)
+
+    from jobs.run_extract import main
+
+    rc = main([
+        "--docs", docs_path, "--kb", kb_dir, "--out", out_dir,
+        "--rows-per-partition", "120", "--pool", "1", "--finalize",
+    ])
+    assert rc == 0
+    man = load_manifest(out_dir)
+    assert len(man) == 3
+    final = pq.read_table(os.path.join(out_dir, "final"))
+    assert final.num_rows == 893  # the sf0.001 canonical set
+    # rerun skips everything
+    rc = main([
+        "--docs", docs_path, "--kb", kb_dir, "--out", out_dir,
+        "--rows-per-partition", "120", "--pool", "1",
+    ])
+    assert rc == 0
+
+
+def test_media_pipeline(ray_session):
+    import ray.data
+
+    from scoobie_ray.pipelines.media import media_features, media_refs
+    from scoobie_ray.sources.fixtures import kg_docs_table
+
+    docs = ray.data.from_arrow(kg_docs_table(SF))
+    refs = media_refs(docs).take_all()
+    assert refs and all(r["kind"] in ("image", "audio") for r in refs)
+    feats = media_features(docs, concurrency=1).take_all()
+    assert len(feats) == len(refs)
+    by_kind = {r["kind"]: len(r["features"]) for r in feats}
+    assert by_kind["image"] == 64 and by_kind["audio"] == 32
