@@ -58,7 +58,10 @@ class ExtractActor:
         regex: bool = False,
         classify: bool = False,
         langid: bool = False,
+        strict: bool = True,
     ):
+        self.strict = strict
+        self.dead_letters: list[dict] = []
         from ..util import limit_worker_threads
 
         limit_worker_threads(1)  # actor reserves 1 CPU: keep Arrow to it
@@ -121,11 +124,44 @@ class ExtractActor:
             batch = self.rater(batch)
         return batch
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _process(self, batch: pa.Table) -> pa.Table:
         annotated = self.annotate(batch)
         if self.emit == "annotations":
             return annotated
         return self.serializer(annotated)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """strict=True (default): a failing document fails the batch and
+        Ray retries/raises — the reference swallows per-stage exceptions
+        (Pipeline.java:170-184), we refuse to.  strict=False: retry the
+        failed batch document-at-a-time and quarantine offenders into a
+        dead-letter side output (collected via ``take_dead_letters``)
+        instead of poisoning the whole run."""
+        if self.strict:
+            return self._process(batch)
+        try:
+            return self._process(batch)
+        except Exception:
+            parts: list[pa.Table] = []
+            for i in range(len(batch)):
+                row = batch.slice(i, 1)
+                try:
+                    parts.append(self._process(row))
+                except Exception as exc:  # noqa: BLE001 — quarantined
+                    self.dead_letters.append(
+                        {
+                            "doc_id": row["doc_id"][0].as_py(),
+                            "error": f"{type(exc).__name__}: {exc}",
+                        }
+                    )
+            if parts:
+                return pa.concat_tables(parts)
+            return self._process(batch.slice(0, 0))
+
+    def take_dead_letters(self) -> list[dict]:
+        out = list(self.dead_letters)
+        self.dead_letters.clear()
+        return out
 
 
 def _kb_ref(kb) -> Any:

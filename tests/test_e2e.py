@@ -105,3 +105,39 @@ def test_encoded_path_matches_string_path(ray_session):
     a = sorted((key(r), r["n_docs"]) for r in strings)
     b = sorted((key(r), r["n_docs"]) for r in encoded)
     assert a == b
+
+
+def test_dead_letter_quarantine():
+    """strict=False: a poisoned document is quarantined doc-at-a-time; the
+    rest of the batch still yields triples (SURVEY.md §4: no swallowed
+    errors, no batch-wide poisoning)."""
+    import pyarrow as pa
+
+    from scoobie_ray.kb.bundle import KBIndex
+    from scoobie_ray.pipelines.extract import ExtractActor
+    from scoobie_ray.sources.docs import DOC_SCHEMA
+
+    good = {
+        "doc_id": "good",
+        "spans": [
+            {"kind": "text", "text": "Percy Jackson lives here.", "media_ref": "", "offset": 0}
+        ],
+    }
+    poison = {
+        "doc_id": "poison",
+        "spans": [{"kind": "text", "text": None, "media_ref": "", "offset": 0}],
+    }
+    batch = pa.Table.from_pylist([good, poison], schema=DOC_SCHEMA)
+    actor = ExtractActor(KBIndex(smoke_kb()), strict=False)
+    out = actor(batch)
+    assert out.num_rows > 0  # good doc still extracted
+    dead = actor.take_dead_letters()
+    assert [d["doc_id"] for d in dead] == ["poison"]
+    assert "Error" in dead[0]["error"] or "error" in dead[0]["error"].lower() or dead[0]["error"]
+
+    # strict mode raises instead
+    import pytest as _pytest
+
+    strict_actor = ExtractActor(KBIndex(smoke_kb()))
+    with _pytest.raises(Exception):
+        strict_actor(batch)
