@@ -28,11 +28,34 @@ from .spot import resolve_kb
 
 DEFAULT_METRICS = ("degree", "position", "tf")
 
+ALL_METRICS = (
+    "degree",
+    "capacity",
+    "pagerank",
+    "hub",
+    "authority",
+    "position",
+    "tf",
+    "idf",
+    "random",
+)
+
 
 class RelevanceRater:
-    def __init__(self, kb, metrics: tuple[str, ...] = DEFAULT_METRICS):
+    def __init__(
+        self,
+        kb,
+        metrics: tuple[str, ...] = DEFAULT_METRICS,
+        doc_freq: dict[int, int] | None = None,
+        n_docs: int = 1,
+    ):
+        """``doc_freq``: literal index -> corpus document frequency (from
+        kb.stats.document_frequency), broadcast like the KB; feeds the
+        InverseDocumentFrequencyBasedRating analogue."""
         self.kb = resolve_kb(kb)
         self.metrics = metrics
+        self.doc_freq = doc_freq or {}
+        self.n_docs = max(1, n_docs)
         tp = self.kb.bundle.meta.get("type_predicate_index")
         self.type_pred = tp
 
@@ -43,9 +66,14 @@ class RelevanceRater:
         m_start: list[int],
         text_len: int,
         n_tokens: int,
+        resolved_l: list[int] | None = None,
     ) -> tuple[list[int], list[float]]:
         if not resolved_s:
             return [], []
+        self._subject_lits: dict[int, list[int]] = {}
+        if resolved_l is not None:
+            for s, lit in zip(resolved_s, resolved_l):
+                self._subject_lits.setdefault(s, []).append(lit)
         subjects = sorted(set(resolved_s))
         nodes = set(subjects)
         out_adj: dict[int, list[int]] = {}
@@ -93,6 +121,26 @@ class RelevanceRater:
                 }
             elif metric == "tf":
                 col = {s: count.get(s, 0) / max(1, n_tokens) for s in subjects}
+            elif metric == "idf":
+                # mean log((1+N)/(1+df)) over the subject's mention literals
+                col = {}
+                for s in subjects:
+                    lits = self._subject_lits.get(s, ())
+                    if lits:
+                        col[s] = sum(
+                            math.log(
+                                (1 + self.n_docs)
+                                / (1 + self.doc_freq.get(lit, 0))
+                            )
+                            for lit in lits
+                        ) / len(lits)
+                    else:
+                        col[s] = 0.0
+            elif metric == "random":
+                import random as _random
+
+                rng = _random.Random(42)
+                col = {s: rng.random() for s in subjects}
             else:
                 raise ValueError(f"unknown rating metric: {metric}")
             columns.append(_znorm(col))
@@ -111,14 +159,22 @@ class RelevanceRater:
             if has_tokens
             else [0] * len(batch)
         )
-        for rm, rs, ms, text, ntok in zip(
+        rl_col = (
+            batch["resolved_lit"].to_pylist()
+            if "resolved_lit" in batch.column_names
+            else [None] * len(batch)
+        )
+        for rm, rs, ms, text, ntok, rl in zip(
             batch["resolved_mention"].to_pylist(),
             batch["resolved_subj"].to_pylist(),
             batch["mention_start"].to_pylist(),
             batch["plain_text"].to_pylist(),
             tok_counts,
+            rl_col,
         ):
-            subs, scores = self._doc_scores(rm, rs, ms, len(text), ntok or len(text))
+            subs, scores = self._doc_scores(
+                rm, rs, ms, len(text), ntok or len(text), rl
+            )
             rs_col.append(subs)
             sc_col.append(scores)
         return batch.append_column(

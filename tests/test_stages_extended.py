@@ -182,3 +182,20 @@ def test_evaluate_helpers():
         pa.table({"subj": ["a"], "pred": ["p"], "obj": ["x"]}),
     )
     assert acc["accuracy"] == 1.0
+
+
+def test_all_rating_metrics_run():
+    from scoobie_ray.sources.fixtures import smoke_docs, smoke_kb
+    from scoobie_ray.stages.rate import ALL_METRICS, RelevanceRater
+
+    kb = KBIndex(smoke_kb())
+    actor = ExtractActor(kb, emit="annotations", segment=True)
+    annotated = actor.annotate(smoke_docs())
+    percy_lit = kb.literal_index("Percy Jackson")
+    rater = RelevanceRater(
+        kb, metrics=ALL_METRICS, doc_freq={percy_lit: 1}, n_docs=2
+    )
+    out = rater(annotated)
+    subs = out["rated_subj"].to_pylist()[0]
+    scores = out["rated_score"].to_pylist()[0]
+    assert len(subs) == len(scores) == 2
