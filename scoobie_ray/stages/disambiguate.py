@@ -131,7 +131,10 @@ def make_resolver(name: str) -> Callable[..., Scores]:
 class Disambiguator:
     """Actor-pool map_batches stage; KB adjacency built once per actor."""
 
-    def __init__(self, kb, resolver: str = "degree", template=None):
+    def __init__(
+        self, kb, resolver: str = "degree", template=None, expansion_hops: int = 1
+    ):
+        self.expansion_hops = expansion_hops
         self.kb = resolve_kb(kb)
         self.filter = (
             template.resolve(self.kb)
@@ -310,6 +313,21 @@ class Disambiguator:
         if contrib:
             np.add.at(scores, _pos(np.concatenate(contrib)), 1.0)
 
+        # optional second hop: paths candidate —x→ anchor-neighborhood
+        # (the reference BFS-expands through intermediate KB nodes,
+        # populateGraphWithRelations :225-293).  The anchors' 1-hop
+        # neighborhoods become an acceptance set; any ambiguous candidate
+        # adjacent to it gains a path-of-length-2 edge to an anchor.
+        hop2_accept: np.ndarray | None = None
+        if self.expansion_hops >= 2 and winners:
+            parts = []
+            for a in set(winners.values()):
+                out_arr, in_arr = self._anchor_neighbors(a)
+                parts.append(out_arr)
+                parts.append(in_arr)
+            if parts:
+                hop2_accept = np.unique(np.concatenate(parts))
+
         for lit, arr in ambiguous.items():
             pos = np.searchsorted(node_arr, arr)
             sc = scores[pos]
@@ -325,6 +343,22 @@ class Disambiguator:
                         if len(hits):
                             scores[np.searchsorted(node_arr, s)] += len(hits)
                 sc = scores[pos]
+            if (
+                hop2_accept is not None
+                and len(hop2_accept)
+                and sc.max() == sc.min()
+                and len(arr) <= 512
+            ):
+                # 2-hop vote: candidate's neighbors ∩ anchors' neighbors
+                hop_sc = np.zeros(len(arr))
+                for i, s in enumerate(arr.tolist()):
+                    outs = self.kb.outgoing_nontype(s)[1]
+                    ins = self.kb.incoming_nontype(s)[1]
+                    hop_sc[i] = (
+                        np.isin(outs, hop2_accept, assume_unique=False).sum()
+                        + np.isin(ins, hop2_accept).sum()
+                    )
+                sc = sc + hop_sc
             # argmax, ties -> smallest subject index (arr sorted? not nec.)
             order = np.lexsort((arr, -sc))
             winners[lit] = int(arr[order[0]])

@@ -99,3 +99,43 @@ def test_fused_actor_matches_stagewise_chain():
     stagewise = Disambiguator(kb)(Linker(kb)(Spotter(kb)(docs)))
     for col in ["mention_start", "cand_subj", "resolved_subj"]:
         assert fused[col].to_pylist() == stagewise[col].to_pylist()
+
+
+def test_two_hop_expansion_discriminates():
+    """2-hop expansion (reference BFS through intermediate KB nodes):
+    candidates indistinguishable at 1 hop resolve via a shared
+    neighborhood with the doc's anchors."""
+    from scoobie_ray.kb.build import build_kb_from_triples
+    from scoobie_ray.kb.bundle import RDF_TYPE, RDFS_LABEL
+
+    ONT = "http://example.org/ont/"
+    rows = [
+        # two people named Lee; neither directly linked to the anchor city
+        ("http://e/lee1", RDFS_LABEL, "Lee", True),
+        ("http://e/lee2", RDFS_LABEL, "Lee", True),
+        # lee2 works at a club; the club is in Berlin (2-hop path)
+        ("http://e/lee2", ONT + "worksAt", "http://e/club", False),
+        ("http://e/club", ONT + "locatedIn", "http://e/berlin", False),
+        ("http://e/berlin", RDFS_LABEL, "Berlin", True),
+        ("http://e/lee1", ONT + "worksAt", "http://e/elsewhere", False),
+        ("http://e/elsewhere", RDFS_LABEL, "Elsewhere Hall", True),
+    ]
+    t = pa.table(
+        {
+            "s": [r[0] for r in rows],
+            "p": [r[1] for r in rows],
+            "o": [r[2] for r in rows],
+            "o_is_literal": [r[3] for r in rows],
+        }
+    )
+    kb = KBIndex(build_kb_from_triples(t))
+    docs = _docs(["Lee met us in Berlin."])
+    one_hop = Disambiguator(kb)(Linker(kb)(Spotter(kb)(docs)))
+    # 1 hop cannot discriminate -> tie-break picks lee1 (smaller uri)
+    subs1 = {kb.uri(s) for s in one_hop["resolved_subj"].to_pylist()[0]}
+    assert "http://e/lee1" in subs1
+    two_hop = Disambiguator(kb, expansion_hops=2)(
+        Linker(kb)(Spotter(kb)(docs))
+    )
+    subs2 = {kb.uri(s) for s in two_hop["resolved_subj"].to_pylist()[0]}
+    assert "http://e/lee2" in subs2  # path lee2 -> club -> berlin wins
