@@ -121,7 +121,11 @@ class Matcher:
             self.by_lower.setdefault(lit.lower(), []).append(idx)
             alts.add(lit if self.config.case_sensitive else lit.lower())
         if alts:
-            pattern = "(?<![A-Za-z0-9_])(?=(%s))" % _trie_regex(alts)
+            # trailing boundary INSIDE the lookahead: if the longest trie
+            # branch ends mid-word the engine backtracks the greedy
+            # optionals and accepts a shorter literal at the same start
+            # (post-hoc end checks would wrongly discard it)
+            pattern = "(?<![A-Za-z0-9_])(?=(%s)(?![A-Za-z0-9_]))" % _trie_regex(alts)
             flags = 0 if self.config.case_sensitive else re.IGNORECASE
             self.rx: re.Pattern | None = re.compile(pattern, flags)
         else:
@@ -132,12 +136,8 @@ class Matcher:
         if self.rx is None or not text:
             return []
         raw: list[tuple[int, int, str]] = []
-        n = len(text)
         for m in self.rx.finditer(text):
-            s, e = m.start(1), m.end(1)
-            if e < n and _WORD_CHAR.match(text[e]):
-                continue  # not at a trailing word boundary
-            raw.append((s, e, m.group(1)))
+            raw.append((m.start(1), m.end(1), m.group(1)))
         if not raw:
             return []
         # filterLongestMatches (:186-214): sort (start asc, end desc), drop
