@@ -148,7 +148,6 @@ class Disambiguator:
         # per-actor candidate caches: literal -> (props, subjs) / distinct subjs
         self._cand: dict[int, tuple[list[int], list[int]]] = {}
         self._cand_distinct: dict[int, list[int]] = {}
-        self._anchor_nbrs: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._prop_map: dict[int, dict[int, int]] = {}
         tp = self.kb.bundle.meta.get("type_predicate_index")
         if tp is None:
