@@ -96,6 +96,46 @@ def rating_map(ranked_by_doc: dict[str, list[str]], gold_by_doc: dict[str, set[s
     return total / len(gold_by_doc)
 
 
+def evaluate_corpus(sf_dir: str) -> dict[str, PR]:
+    """Corpus-level per-stage evaluation against the SQL-derived gold —
+    the Evaluator loop (workflow/Evaluator.java:39-45) in one call.
+    Returns {stage: PR}; used by tests and as a quality report hook."""
+    import duckdb
+
+    from .oracle import ORACLES
+    from .pipelines import views
+
+    con = duckdb.connect()
+    for t in [
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    out: dict[str, PR] = {}
+    out["spotting"] = spotting_pr(
+        views.kg_spot(sf_dir).to_pandas(), con.execute(ORACLES["kg_spot"]).fetchdf()
+    )
+    out["linking"] = linking_pr(
+        views.kg_resolved(sf_dir).to_pandas(),
+        con.execute(ORACLES["kg_resolved"]).fetchdf(),
+    )
+    out["triples"] = triples_pr(
+        views.kg_triples(sf_dir).to_pandas(),
+        con.execute(ORACLES["kg_triples"]).fetchdf(),
+    )
+    return out
+
+
 def fact_prediction_accuracy(predicted, known) -> dict[str, float]:
     """Accuracy/fallout of predicted edges vs the known KB edges
     (FactRecommender.compare:222-480): a prediction is 'correct' when the

@@ -272,6 +272,19 @@ class KBIndex:
     def incoming(self, object_idx: int) -> tuple[np.ndarray, np.ndarray]:
         return self.inc.neighbors(object_idx)
 
+    def instances_of_types(self, types: list[int], count: int | None = None) -> list[int]:
+        """Subjects carrying any of the given rdf:types, optionally capped —
+        the sampling lookup (PostgresKB.getInstancesOfTypes ... LIMIT count,
+        :664-687).  Deterministic: ascending subject index."""
+        typ = self.bundle.types
+        subs = _np(typ["subject"])
+        ts = _np(typ["type"])
+        mask = np.isin(ts, np.asarray(types, dtype=np.int64))
+        out = np.unique(subs[mask])
+        if count is not None:
+            out = out[:count]
+        return out.tolist()
+
     def markov_top(
         self, cluster_s: int, cluster_o: int, k: int = 1
     ) -> list[tuple[int, float]]:

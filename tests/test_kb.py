@@ -121,3 +121,13 @@ def test_build_from_parsed_ntriples_end_to_end():
     assert len(kb.symbols) == 2
     assert len(kb.relations) == 2
     assert len(kb.types) == 1
+
+
+def test_instances_of_types_sampling():
+    kb = KBIndex(smoke_kb())
+    person = kb.uri_index("http://example.org/ont/Person")
+    place = kb.uri_index("http://example.org/ont/Place")
+    both = kb.instances_of_types([person, place])
+    assert len(both) == 2
+    capped = kb.instances_of_types([person, place], count=1)
+    assert capped == [min(both)]  # deterministic ascending order

@@ -59,3 +59,11 @@ def test_linking_pr_gate(ray_session, oracle_con):
     gold = oracle_con.execute(ORACLES["kg_resolved"]).fetchdf()
     pr = linking_pr(engine, gold)
     assert pr.f1 == 1.0
+
+
+def test_evaluate_corpus_report(ray_session):
+    from scoobie_ray.evaluate import evaluate_corpus
+
+    report = evaluate_corpus(SF)
+    assert set(report) == {"spotting", "linking", "triples"}
+    assert all(pr.f1 == 1.0 for pr in report.values())
