@@ -55,6 +55,12 @@ def _q_dedup_simhash(sf_dir: str):
     return simhash_dedup(_documents(sf_dir), max_hamming=3).select_columns(["doc_id"])
 
 
+def _q_dedup_ngram(sf_dir: str):
+    from scoobie_ray.ops.dedup import ngram_dedup
+
+    return ngram_dedup(_documents(sf_dir), threshold=0.5).select_columns(["doc_id"])
+
+
 def _q_fingerprint(sf_dir: str):
     from scoobie_ray.ops.text import fingerprint_batch
 
@@ -68,7 +74,7 @@ def _q_text_stats(sf_dir: str):
 
     return _documents(sf_dir).map_batches(
         TextStats, batch_format="pyarrow", concurrency=2
-    ).select_columns(["doc_id", "n_chars", "n_tokens", "n_punct"])
+    ).select_columns(["doc_id", "n_chars", "n_tokens", "n_bpe", "n_punct"])
 
 
 def _q_langid(sf_dir: str):
@@ -218,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram": _q_dedup_ngram,
         "fingerprint": _q_fingerprint,
         "text_stats": _q_text_stats,
         "langid": _q_langid,

@@ -296,6 +296,55 @@ def simhash_dedup(ds, max_hamming: int = 3, text_col: str = "text", id_col: str 
     return _cluster_and_filter(ds, list(pairs), id_col)
 
 
+def ngram_dedup(
+    ds,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 32,
+):
+    """Word-n-gram Jaccard near-dedup: MinHash-LSH candidate generation
+    (aggressive banding for recall), verification by TRUE word-n-gram
+    Jaccard (the reference-free ngram kernel), union-find clustering."""
+    import pandas as pd
+
+    sig = ds.select_columns([id_col, text_col]).map_batches(
+        _MinHashStage,
+        fn_constructor_kwargs={
+            "num_perm": num_perm,
+            "bands": bands,
+            "shingle_k": 4,
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(group["doc_id"].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        return pd.DataFrame({"a": [ids[0]] * (len(ids) - 1), "b": ids[1:]})
+
+    cand = (
+        sig.groupby("band_key").map_groups(bucket_pairs, batch_format="pandas").to_pandas()
+    )
+    cand_pairs = {tuple(r) for r in cand.itertuples(index=False)}
+    if not cand_pairs:
+        return ds
+    need = {x for p in cand_pairs for x in p}
+    texts = {}
+    for batch in ds.select_columns([id_col, text_col]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            if i in need:
+                texts[i] = t
+    verified = ngram_jaccard_pairs(texts, list(cand_pairs), n=n, threshold=threshold)
+    return _cluster_and_filter(ds, verified, id_col)
+
+
 def ngram_jaccard_pairs(texts: dict, pairs: list[tuple], n: int = 3, threshold: float = 0.8):
     """Verified word-n-gram Jaccard for candidate pairs (the verify kernel
     shared by the near-dup paths)."""

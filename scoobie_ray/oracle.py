@@ -324,6 +324,8 @@ ORACLES["text_stats"] = """
 SELECT doc_id,
        length(text) AS n_chars,
        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+            AS BIGINT) AS n_bpe,
        length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
 FROM documents
 """

@@ -217,3 +217,12 @@ def test_multimodal_fake_stages():
 
     with pytest.raises(NotImplementedError):
         DecodeImage(fake=False)(t)
+
+
+def test_ngram_dedup(dup_docs):
+    from scoobie_ray.ops.dedup import ngram_dedup
+
+    kept = sorted(r["doc_id"] for r in ngram_dedup(dup_docs, threshold=0.5).take_all())
+    assert "b" not in kept  # exact dup
+    assert "c" not in kept  # near dup by word 3-grams
+    assert "d" in kept and "e" in kept
