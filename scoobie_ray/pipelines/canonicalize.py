@@ -62,6 +62,7 @@ def canonicalize(
     strategy: str = "tree",
     tree_fan_in: int = 8,
     tree_root_limit: int = 5_000_000,
+    salt_buckets: int = 0,
 ):
     """triples Dataset -> canonical Dataset
     (subj, pred, obj, graph, belief, n_docs).
@@ -105,7 +106,7 @@ def canonicalize(
         if level.count() > tree_root_limit:
             # distinct set too large for a single root task — finish with
             # the shuffling groupby on the already-shrunk rows
-            return _groupby_finish(level, num_partitions)
+            return _groupby_finish(level, num_partitions, salt_buckets)
         if level.num_blocks() > 1:
             level = level.repartition(1).map_batches(
                 _combine2,
@@ -115,11 +116,21 @@ def canonicalize(
             )
         return level
 
-    return _groupby_finish(combined, num_partitions)
+    return _groupby_finish(combined, num_partitions, salt_buckets)
 
 
-def _groupby_finish(combined_ds, num_partitions: int | None):
-    """Global merge of already-combined rows via partitioned groupby."""
+def _groupby_finish(
+    combined_ds, num_partitions: int | None, salt_buckets: int = 0
+):
+    """Global merge of already-combined rows via partitioned groupby.
+
+    ``salt_buckets > 0`` adds an explicit two-phase salted aggregation for
+    pathologically hot keys: phase 1 groups on (salt = hash(subj) %% S,
+    key...) so one hot triple spreads over S partitions; phase 2 groups on
+    the bare key over the S-fold-smaller result.  With the per-block
+    combiner already collapsing duplicates, salting only pays when a
+    single canonical key still dominates whole partitions.
+    """
     from ray.data.aggregate import Max, Sum
 
     if num_partitions is None:
@@ -128,11 +139,42 @@ def _groupby_finish(combined_ds, num_partitions: int | None):
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(4, min(64, cpus // 2))
     schema_names = combined_ds.schema().names
-    if "s" in schema_names:
-        return combined_ds.groupby(
-            KEY_ENCODED, num_partitions=num_partitions
-        ).aggregate(Sum("n_docs", alias_name="n_docs"))
-    return combined_ds.groupby(KEY, num_partitions=num_partitions).aggregate(
+    keys = KEY_ENCODED if "s" in schema_names else KEY
+
+    if salt_buckets > 0:
+        def add_salt(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            if "s" in t.column_names:
+                basis = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+            else:
+                basis = np.fromiter(
+                    (hash(x) for x in t["subj"].to_pylist()),
+                    dtype=np.int64,
+                    count=len(t),
+                )
+            salt = (basis % salt_buckets).astype(np.int64)
+            return t.append_column("_salt", pa.array(salt, pa.int64()))
+
+        salted = combined_ds.map_batches(add_salt, batch_format="pyarrow")
+        if keys is KEY_ENCODED:
+            phase1 = salted.groupby(
+                ["_salt"] + keys, num_partitions=num_partitions
+            ).aggregate(Sum("n_docs", alias_name="n_docs"))
+        else:
+            phase1 = salted.groupby(
+                ["_salt"] + keys, num_partitions=num_partitions
+            ).aggregate(
+                Max("belief", alias_name="belief"),
+                Sum("n_docs", alias_name="n_docs"),
+            )
+        combined_ds = phase1.drop_columns(["_salt"])
+
+    if keys is KEY_ENCODED:
+        return combined_ds.groupby(keys, num_partitions=num_partitions).aggregate(
+            Sum("n_docs", alias_name="n_docs")
+        )
+    return combined_ds.groupby(keys, num_partitions=num_partitions).aggregate(
         Max("belief", alias_name="belief"),
         Sum("n_docs", alias_name="n_docs"),
     )

@@ -245,3 +245,66 @@ def annotate_docs(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def extract_triples_staged(
+    docs_ds,
+    kb,
+    *,
+    spot_concurrency: int | tuple[int, int] | None = 2,
+    link_concurrency: int | tuple[int, int] | None = 2,
+    repartition_blocks: int | None = None,
+    batch_size: int = 512,
+    resolver: str = "degree",
+    markov_k: int = 1,
+    case_sensitive: bool = True,
+):
+    """Unfused variant with an EXPLICIT repartition between extraction
+    (spotting) and linking, per the north rule: mention counts are skewed
+    (some docs carry hundreds of mentions, most a handful), so the
+    round-robin ``repartition`` rebalances block sizes before the
+    link/disambiguate pool.  The fused :func:`extract_triples` is the
+    faster path when skew is mild; this is the knob when it isn't."""
+    import ray
+
+    from ..stages.disambiguate import Disambiguator
+    from ..stages.facts import FactStage
+    from ..stages.serialize import TripleSerializer
+    from ..stages.spot import SpotConfig, Spotter
+
+    kb_ref = _kb_ref(kb)
+    cfg = SpotConfig(case_sensitive=case_sensitive)
+    spotted = docs_ds.map_batches(
+        Spotter,
+        fn_constructor_kwargs={"kb": kb_ref, "config": cfg},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=spot_concurrency,
+    )
+    if repartition_blocks is None:
+        repartition_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 4)
+    spotted = spotted.repartition(repartition_blocks)
+    resolved = spotted.map_batches(
+        Disambiguator,
+        fn_constructor_kwargs={"kb": kb_ref, "resolver": resolver},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=link_concurrency,
+    ).map_batches(
+        FactStage,
+        fn_constructor_kwargs={"kb": kb_ref, "markov_k": markov_k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=link_concurrency,
+    )
+    return resolved.map_batches(
+        TripleSerializer,
+        fn_constructor_kwargs={"kb": kb_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=link_concurrency,
+    )

@@ -141,3 +141,44 @@ def test_dead_letter_quarantine():
     strict_actor = ExtractActor(KBIndex(smoke_kb()))
     with _pytest.raises(Exception):
         strict_actor(batch)
+
+
+def test_staged_pipeline_with_repartition_matches_fused(ray_session):
+    """The unfused spot -> repartition -> link/disambiguate/facts chain
+    (explicit rebalance between extraction and linking, per the north
+    rule) yields the same canonical triples as the fused actor."""
+    import ray.data
+
+    from scoobie_ray.pipelines.extract import extract_triples_staged
+    from scoobie_ray.sources.fixtures import kg_docs_table, kg_kb
+
+    sf = "/root/testdata/sf0.001"
+    kb = kg_kb(sf)
+    docs = ray.data.from_arrow(kg_docs_table(sf))
+    staged = canonicalize(
+        extract_triples_staged(
+            docs, kb, repartition_blocks=8,
+            spot_concurrency=1, link_concurrency=1,
+        )
+    ).take_all()
+    fused = canonicalize(extract_triples(docs, kb, concurrency=1)).take_all()
+    key = lambda r: (r["subj"], r["pred"], r["obj"], r["graph"])
+    assert sorted(map(key, staged)) == sorted(map(key, fused))
+
+
+def test_salted_groupby_canonicalize_matches(ray_session):
+    """Two-phase salted aggregation (hot-key defusal) produces identical
+    canonical rows to the unsalted groupby and the tree path."""
+    import ray.data
+
+    from scoobie_ray.sources.fixtures import kg_docs_table, kg_kb
+
+    sf = "/root/testdata/sf0.001"
+    kb = kg_kb(sf)
+    docs = ray.data.from_arrow(kg_docs_table(sf))
+    tri = extract_triples(docs.union(docs), kb, concurrency=1, encoded=True)
+    salted = canonicalize(tri, strategy="groupby", salt_buckets=4).take_all()
+    tri2 = extract_triples(docs.union(docs), kb, concurrency=1, encoded=True)
+    tree = canonicalize(tri2).take_all()
+    key = lambda r: (r["s"], r["p"], r["o"], r["g"], r["n_docs"])
+    assert sorted(map(key, salted)) == sorted(map(key, tree))
