@@ -77,6 +77,14 @@ def _q_text_stats(sf_dir: str):
     ).select_columns(["doc_id", "n_chars", "n_tokens", "n_bpe", "n_punct"])
 
 
+def _q_quality_flags(sf_dir: str):
+    from scoobie_ray.ops.text import quality_flags_batch
+
+    return _documents(sf_dir).map_batches(
+        quality_flags_batch, batch_format="pyarrow"
+    )
+
+
 def _q_langid(sf_dir: str):
     from scoobie_ray.ops.text import LangId
 
@@ -210,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG-construction pipeline (SURVEY.md §2.1/§2.3/§2.4) ---
         "kg_spot": views.kg_spot,
+        "kg_spot_ci": views.kg_spot_ci,
         "kg_candidates": views.kg_candidates,
         "kg_resolved": views.kg_resolved,
         "kg_known": views.kg_known,
@@ -227,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram": _q_dedup_ngram,
         "fingerprint": _q_fingerprint,
         "text_stats": _q_text_stats,
+        "quality_flags": _q_quality_flags,
         "langid": _q_langid,
         "knn_bruteforce": _q_knn,
         "knn_lsh": _q_knn_lsh,

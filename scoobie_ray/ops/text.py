@@ -71,6 +71,36 @@ class TextStats:
         )
 
 
+def quality_flags_batch(batch: pa.Table) -> pa.Table:
+    """Integer/boolean quality heuristics, exactly reproducible in SQL
+    (the float ``quality`` score in TextStats is the fused engine-side
+    variant): n_nonspace, n_tokens, avg token length in centichars
+    (integer math), and the pass/fail flags the score is built from."""
+    texts = batch["text"].to_pylist()
+    n_nonspace, n_tokens, avg_c, len_ok, punct_ok = [], [], [], [], []
+    for t in texts:
+        t = t or ""
+        toks = _TOKEN_RE.findall(t)
+        ns = sum(len(w) for w in toks)
+        nt = len(toks)
+        punct = len(_PUNCT_RE.findall(t))
+        n_nonspace.append(ns)
+        n_tokens.append(nt)
+        avg_c.append((ns * 100) // nt if nt else 0)
+        len_ok.append(nt >= 5)
+        punct_ok.append(punct * 2 <= max(1, nt))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_nonspace": pa.array(n_nonspace, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "avg_token_centichars": pa.array(avg_c, pa.int64()),
+            "len_ok": pa.array(len_ok, pa.bool_()),
+            "punct_ok": pa.array(punct_ok, pa.bool_()),
+        }
+    )
+
+
 class LangId:
     """Stopword-profile language identification (the reference's slot 0 is
     an n-gram classifier, LanguageIdentification.java:43-86; a stopword

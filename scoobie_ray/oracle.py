@@ -240,6 +240,42 @@ FROM docparts WHERE key % 3 = 1
 """
 )
 
+ORACLES["kg_spot_ci"] = f"""
+WITH {LABELS},
+ci_docs AS (
+  SELECT 'ci-nation-' || n_nationkey AS doc_id,
+         lower(n_name) || ' is a nation in ' || lower(r_name) || '.' AS text
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+ci_mentions AS (
+  SELECT DISTINCT d.doc_id,
+         strpos(d.text, lower(l.label)) - 1 AS m_start,
+         strpos(d.text, lower(l.label)) - 1 + length(l.label) AS m_end,
+         l.label AS literal
+  FROM ci_docs d CROSS JOIN (SELECT DISTINCT label FROM labels) l
+  WHERE strpos(d.text, lower(l.label)) > 0
+    AND (strpos(d.text, lower(l.label)) = 1
+         OR NOT regexp_matches(
+               substr(d.text, strpos(d.text, lower(l.label)) - 1, 1),
+               '[A-Za-z0-9_]'))
+    AND (strpos(d.text, lower(l.label)) + length(l.label) > length(d.text)
+         OR NOT regexp_matches(
+               substr(d.text, strpos(d.text, lower(l.label)) + length(l.label), 1),
+               '[A-Za-z0-9_]'))
+),
+ci_spot AS (
+  SELECT * FROM ci_mentions m
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ci_mentions o
+    WHERE o.doc_id = m.doc_id
+      AND o.m_start <= m.m_start AND o.m_end >= m.m_end
+      AND (o.m_start <> m.m_start OR o.m_end <> m.m_end))
+)
+SELECT doc_id, CAST(m_start AS BIGINT) AS m_start,
+       CAST(m_end AS BIGINT) AS m_end, literal
+FROM ci_spot
+"""
+
 ORACLES["kg_media"] = (
     f"{_KG_PREFIX} "
     """
@@ -344,6 +380,22 @@ SELECT query_id, vec_id, rank FROM (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY score DESC, vec_id) - 1 AS rank
   FROM scored) WHERE rank < 5
+"""
+
+ORACLES["quality_flags"] = """
+WITH q AS (
+  SELECT doc_id,
+         length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc_id, CAST(n_nonspace AS BIGINT) AS n_nonspace, n_tokens,
+       CAST(CASE WHEN n_tokens > 0 THEN (n_nonspace * 100) // n_tokens
+                 ELSE 0 END AS BIGINT) AS avg_token_centichars,
+       n_tokens >= 5 AS len_ok,
+       n_punct * 2 <= greatest(1, n_tokens) AS punct_ok
+FROM q
 """
 
 # ---- relational -----------------------------------------------------------

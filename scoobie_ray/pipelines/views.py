@@ -72,6 +72,69 @@ def kg_spot(sf_dir: str):
     return spotted.map_batches(explode, batch_format="pyarrow")
 
 
+def kg_spot_ci(sf_dir: str):
+    """Case-INSENSITIVE spotting over a case-mangled nation corpus
+    (lowercased label surfaces): exercises the IGNORECASE automaton and
+    the case-preference filter (no exact-case literal matches, so every
+    case-variant KB literal is reported — here exactly one per span)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from ..sources.docs import DOC_SCHEMA
+    from ..stages.spot import SpotConfig
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    rname = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    rows = []
+    for k, name, rk in zip(*[nation[c].to_pylist() for c in nation.column_names]):
+        text = name.lower() + " is a nation in " + rname[rk].lower() + "."
+        rows.append(
+            {
+                "doc_id": "ci-nation-%d" % k,
+                "spans": [{"kind": "text", "text": text, "media_ref": "", "offset": 0}],
+            }
+        )
+    docs = ray.data.from_arrow(pa.Table.from_pylist(rows, schema=DOC_SCHEMA))
+
+    kb = kg_kb(sf_dir)
+    kb_ref = ray.put(kb.tables())
+    lits = kb.literals["literal"].to_pylist()
+    spotted = docs.map_batches(
+        Spotter,
+        fn_constructor_kwargs={"kb": kb_ref, "config": SpotConfig(case_sensitive=False)},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        d, s_, e_, l_ = [], [], [], []
+        for doc_id, ss, es, ls in zip(
+            t["doc_id"].to_pylist(),
+            t["mention_start"].to_pylist(),
+            t["mention_end"].to_pylist(),
+            t["mention_literal"].to_pylist(),
+        ):
+            for s, e, li in zip(ss, es, ls):
+                d.append(doc_id)
+                s_.append(s)
+                e_.append(e)
+                l_.append(lits[li])
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.string()),
+                "m_start": pa.array(s_, pa.int64()),
+                "m_end": pa.array(e_, pa.int64()),
+                "literal": pa.array(l_, pa.string()),
+            }
+        )
+
+    return spotted.map_batches(explode, batch_format="pyarrow")
+
+
 def kg_candidates(sf_dir: str):
     kb, kb_ref = _kb_and_ref(sf_dir)
     uris = kb.resources["uri"].to_pylist()
