@@ -95,11 +95,13 @@ def run_bench() -> dict:
     # ---- headline: end-to-end extract -> canonicalize -> materialize ----
     out_dir = os.path.join(STAGE_ROOT, f"out-{NUM_CPUS}")
     shutil.rmtree(out_dir, ignore_errors=True)
-    # pool = half the CPUs: leaves read/combine/write stages runnable (an
-    # actor pool sized to every CPU starves the other operators — at 2
-    # CPUs it deadlocks the read entirely), and keeps the pool ratio equal
-    # to the CPU ratio between scaling levels
-    pool = max(1, NUM_CPUS // 2)
+    # actor-pool sizing: leave the read/combine/write operators runnable
+    # (a pool holding every CPU starves them — at 2 CPUs it deadlocks the
+    # read entirely).  Small sessions need proportionally more headroom, so
+    # scaling levels (2 and 8) use cpus/2 — keeping the pool ratio equal to
+    # the CPU ratio — while larger sessions run 3/4 (sweep: 16→762k,
+    # 20→1029k, 24→1035k triples/s at 32 cpus)
+    pool = max(1, NUM_CPUS // 2 if NUM_CPUS <= 8 else (3 * NUM_CPUS) // 4)
     t0 = time.time()
     docs = read_docs(docs_path, override_num_blocks=128)
     canon = canonicalize(
