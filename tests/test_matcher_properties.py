@@ -45,8 +45,12 @@ def brute_force(literals: list[str], text: str) -> list[tuple[int, int, int]]:
 
 
 # alphabet engineered for collisions: shared prefixes, substrings, joins
-_lit_st = st.text(alphabet="ab_ ", min_size=1, max_size=6).map(str.strip).filter(bool)
-_text_st = st.text(alphabet="ab_ .,x", min_size=0, max_size=40)
+_lit_st = (
+    st.text(alphabet="ab_ .()?*+|[", min_size=1, max_size=6)
+    .map(str.strip)
+    .filter(bool)
+)
+_text_st = st.text(alphabet="ab_ .,x()?*+|[", min_size=0, max_size=40)
 
 
 @settings(max_examples=300, deadline=None)
