@@ -32,7 +32,8 @@ _LITERAL_CLEAN_RE = re.compile(r'[\n\t\\"]')
 _BAD_URI_CHAR_RE = re.compile(r'[ <>"{}|^`\\]')
 
 _NT_LINE_RE = re.compile(
-    r'^\s*<([^>]*)>\s+<([^>]*)>\s+(?:<([^>]*)>|"((?:[^"\\]|\\.)*)"[^.]*)\s*\.\s*$'
+    r'^\s*<([^>]*)>\s+<([^>]*)>\s+'
+    r'(?:<([^>]*)>|"((?:[^"\\]|\\.)*)"(?:\^\^<[^>]*>|@[\w-]+)?)\s*\.\s*$'
 )
 
 

@@ -137,22 +137,21 @@ class Pipeline:
         ]
         return [(n, slots[n]) for n in order if slots.get(n) is not None]
 
-    def annotate(self, docs_ds, concurrency: int | None = 2, batch_size: int = 512):
-        """docs Dataset -> annotated Dataset, one map_batches per slot."""
+    def annotate(self, docs_ds, batch_size: int = 512):
+        """docs Dataset -> annotated Dataset, one map_batches per slot.
+
+        Slot stages here are pre-constructed instances (state built once
+        driver-side and shipped with the task closure); for per-actor
+        state with an actor pool use pipelines.extract.ExtractActor or
+        extract_triples_staged."""
         ds = docs_ds
         for _name, stage in self.stages():
-            kwargs: dict = {"batch_format": "pyarrow", "zero_copy_batch": True}
-            if not callable(stage):
-                continue
-            if hasattr(stage, "__call__") and not isinstance(
-                stage, type(lambda: None)
-            ):
-                # instance stage: wrap so Ray treats it as a plain function
-                # (its state was built driver-side once; for per-actor
-                # state use pipelines.extract.ExtractActor)
-                ds = ds.map_batches(stage, batch_size=batch_size, **kwargs)
-            else:
-                ds = ds.map_batches(stage, batch_size=batch_size, **kwargs)
+            ds = ds.map_batches(
+                stage,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=batch_size,
+            )
         return ds
 
     def run_local(self, batch: pa.Table) -> pa.Table:

@@ -131,3 +131,15 @@ def test_instances_of_types_sampling():
     assert len(both) == 2
     capped = kb.instances_of_types([person, place], count=1)
     assert capped == [min(both)]  # deterministic ascending order
+
+
+def test_parse_ntriples_typed_and_lang_literals():
+    t = parse_ntriples_lines(
+        [
+            '<http://a> <http://p> "42"^^<http://www.w3.org/2001/XMLSchema#int> .',
+            '<http://a> <http://p> "hello"@en .',
+        ]
+    )
+    assert t.num_rows == 2
+    assert t["o"].to_pylist() == ["42", "hello"]
+    assert t["o_is_literal"].to_pylist() == [True, True]

@@ -199,3 +199,13 @@ def test_all_rating_metrics_run():
     subs = out["rated_subj"].to_pylist()[0]
     scores = out["rated_score"].to_pylist()[0]
     assert len(subs) == len(scores) == 2
+
+
+def test_workflow_annotate_over_ray(ray_session):
+    import ray.data
+
+    kb = KBIndex(smoke_kb())
+    pipe = Pipeline(kb=kb)
+    out = pipe.annotate(ray.data.from_arrow(smoke_docs())).take_all()
+    resolved = {s for r in out for s in r["resolved_subj"]}
+    assert len(resolved) == 2
