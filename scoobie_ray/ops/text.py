@@ -165,7 +165,7 @@ def polyhash(s: str, base: int = 257, mod: int = (1 << 61) - 1) -> int:
     return h
 
 
-def winnow_fingerprint(text: str, window: int = 16, stride: int = 8, k: int = 8) -> list[int]:
+def winnow_fingerprint(text: str, window: int = 16, k: int = 8) -> list[int]:
     """k smallest rolling hashes (winnowing sketch) — a compact doc signature."""
     hs = rolling_hashes(text, window)
     return sorted(set(hs))[:k]
