@@ -130,6 +130,24 @@ class _CSR:
             return int(self.stops[i] - self.starts[i])
         return 0
 
+    def gather_many(self, nodes: np.ndarray) -> np.ndarray:
+        """Concatenated endpoint values for a batch of nodes — one
+        vectorized searchsorted + repeat instead of a Python call per node."""
+        if not len(nodes) or not len(self.keys):
+            return _EMPTY
+        pos = np.searchsorted(self.keys, nodes)
+        pos_c = np.minimum(pos, len(self.keys) - 1)
+        valid = self.keys[pos_c] == nodes
+        starts = self.starts[pos_c[valid]]
+        stops = self.stops[pos_c[valid]]
+        counts = stops - starts
+        total = int(counts.sum())
+        if not total:
+            return _EMPTY
+        offsets = np.repeat(np.cumsum(counts) - counts, counts)
+        idx = np.repeat(starts, counts) + (np.arange(total) - offsets)
+        return self.other[idx]
+
 
 _EMPTY = np.empty(0, dtype=np.int64)
 

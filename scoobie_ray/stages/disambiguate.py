@@ -287,11 +287,9 @@ class Disambiguator:
         if not ambiguous:
             return winners
 
-        node_set: set[int] = set()
-        for subs in ambiguous.values():
-            node_set.update(subs)
-        node_arr = np.fromiter(node_set, dtype=np.int64, count=len(node_set))
-        node_arr.sort()
+        node_arr = np.unique(
+            np.concatenate([np.asarray(v, dtype=np.int64) for v in ambiguous.values()])
+        )
         scores = np.zeros(len(node_arr))
 
         def _pos(arr: np.ndarray) -> np.ndarray:
@@ -301,14 +299,14 @@ class Disambiguator:
 
         # literal edges (+1 per literal naming the candidate) and anchor
         # KB edges — gathered into ONE concatenated array so the doc pays
-        # a single searchsorted + add.at instead of one per literal/anchor
+        # a single searchsorted + add.at instead of one per literal/anchor;
+        # anchor neighborhoods come from a batched CSR gather
         contrib: list[np.ndarray] = list(lit_candidates.values())
-        for a in set(winners.values()):
-            out_arr, in_arr = self._anchor_neighbors(a)
-            if len(out_arr):
-                contrib.append(out_arr)
-            if len(in_arr):
-                contrib.append(in_arr)
+        anchors_arr = np.unique(
+            np.fromiter(winners.values(), dtype=np.int64, count=len(winners))
+        )
+        contrib.append(self.kb.out_nt.gather_many(anchors_arr))
+        contrib.append(self.kb.inc_nt.gather_many(anchors_arr))
         if contrib:
             np.add.at(scores, _pos(np.concatenate(contrib)), 1.0)
 
