@@ -110,3 +110,22 @@ def test_matcher_adjacent_and_edge_labels():
     assert m.find("Alpha Beta") == [(0, 5, 0), (6, 10, 1)]
     assert m.find("Alpha") == [(0, 5, 0)]
     assert m.find("(Beta)") == [(1, 5, 1)]
+
+
+def test_html_normalization_is_offset_stable():
+    from scoobie_ray.stages.normalize import html_to_text, normalize_html_batch
+
+    html = '<p class="x">Percy <b>Jackson</b></p><script>var a=1;</script> here.'
+    text = html_to_text(html)
+    assert len(text) == len(html)  # Document.java:112-138 contract
+    assert "Percy" in text and "Jackson" in text
+    assert "script" not in text and "var a" not in text
+    # offsets into the normalized text point at the same chars in the html
+    i = text.index("Jackson")
+    assert html[i : i + 7] == "Jackson"
+
+    t = _doc("d1", [{"kind": "text", "text": html, "media_ref": "", "offset": 0}])
+    out = normalize_html_batch(t)
+    norm = out["spans"].to_pylist()[0][0]["text"]
+    assert len(norm) == len(html)
+    assert out["raw_spans"].to_pylist()[0][0]["text"] == html
