@@ -209,3 +209,31 @@ def test_workflow_annotate_over_ray(ray_session):
     out = pipe.annotate(ray.data.from_arrow(smoke_docs())).take_all()
     resolved = {s for r in out for s in r["resolved_subj"]}
     assert len(resolved) == 2
+
+
+def test_corpus_zip_reader(tmp_path):
+    import zipfile
+
+    from scoobie_ray.sources.corpus import corpus_table
+
+    zp = tmp_path / "corpus.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("d1.txt", "Percy Jackson here.")
+        zf.writestr("sub/d2.txt", "Else.")
+    t = corpus_table(str(zp))
+    assert t.num_rows == 2
+    assert sorted(t["doc_id"].to_pylist()) == ["d1.txt", "sub/d2.txt"]
+
+
+def test_kb_bundle_roundtrip(tmp_path):
+    from scoobie_ray.kb.bundle import KBBundle
+    from scoobie_ray.sources.fixtures import smoke_kb
+
+    kb = smoke_kb()
+    kb.write(str(tmp_path / "kb"))
+    back = KBBundle.read(str(tmp_path / "kb"))
+    for name, tbl in kb.tables().items():
+        assert back.tables()[name].equals(tbl), name
+    # the reloaded bundle drives the pipeline identically
+    out = ExtractActor(KBIndex(back))(smoke_docs())
+    assert out.num_rows == 6
