@@ -182,3 +182,50 @@ def test_salted_groupby_canonicalize_matches(ray_session):
     tree = canonicalize(tri2).take_all()
     key = lambda r: (r["s"], r["p"], r["o"], r["g"], r["n_docs"])
     assert sorted(map(key, salted)) == sorted(map(key, tree))
+
+
+def test_head_entity_skew_bounded_by_combiner(ray_session):
+    """Head-entity skew: every doc mentions the same hot nation, so the
+    emitted stream is dominated by a handful of canonical keys.  The
+    per-block combiner must bound what reaches the exchange: rows after
+    local combine ≤ (#blocks × distinct triples), NOT #docs."""
+    import pyarrow as pa
+    import ray.data
+
+    from scoobie_ray.pipelines.canonicalize import _local_combine
+    from scoobie_ray.sources.docs import DOC_SCHEMA
+    from scoobie_ray.sources.fixtures import kg_kb
+
+    sf = "/root/testdata/sf0.001"
+    kb = kg_kb(sf)
+    # 2000 docs, all about NATION_3 (the hot key)
+    rows = [
+        {
+            "doc_id": f"hot-{i}",
+            "spans": [
+                {
+                    "kind": "text",
+                    "text": "NATION_3 is a nation in AFRICA.",
+                    "media_ref": "",
+                    "offset": 0,
+                }
+            ],
+        }
+        for i in range(2000)
+    ]
+    docs = ray.data.from_arrow(
+        pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
+    ).repartition(8)
+    tri = extract_triples(docs, kb, concurrency=1, encoded=True)
+    emitted = tri.count()
+    assert emitted >= 2000 * 5  # the skewed stream is big...
+    combined = tri.map_batches(
+        _local_combine, batch_format="pyarrow", zero_copy_batch=True
+    )
+    combined_rows = combined.count()
+    distinct = canonicalize(
+        extract_triples(docs, kb, concurrency=1, encoded=True)
+    ).count()
+    # ...but the exchange sees at most blocks x distinct keys
+    assert combined_rows <= 8 * distinct * 2
+    assert combined_rows < emitted / 50
