@@ -382,6 +382,44 @@ SELECT query_id, vec_id, rank FROM (
   FROM scored) WHERE rank < 5
 """
 
+def _langid_oracle() -> str:
+    """SQL replica of ops.text.LangId generated from the SAME stopword
+    profiles (single source of truth): per-doc stopword votes per
+    language, argmax with ties preferring the engine's language order,
+    default 'en'."""
+    from .ops.text import STOPWORDS
+
+    langs = ("en", "es", "de", "fr")
+    rows = []
+    for ord_, lang in enumerate(langs):
+        for w in sorted(STOPWORDS[lang]):
+            rows.append(f"('{lang}', '{w}', {ord_})")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-zäöüéèáíóú]+')) AS w
+  FROM documents
+), profiles(lang, w, ord) AS (
+  VALUES
+    {values}
+), votes AS (
+  SELECT d.doc_id, p.lang, p.ord, count(*) AS n
+  FROM words d JOIN profiles p ON p.w = d.w
+  GROUP BY d.doc_id, p.lang, p.ord
+), best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, ord) AS rk
+  FROM votes
+)
+SELECT doc.doc_id, coalesce(b.lang, 'en') AS lang_pred
+FROM documents doc
+LEFT JOIN best b ON b.doc_id = doc.doc_id AND b.rk = 1
+"""
+
+
+ORACLES["langid"] = _langid_oracle()
+
 ORACLES["quality_flags"] = """
 WITH q AS (
   SELECT doc_id,
