@@ -20,6 +20,12 @@ import json
 import os
 import sys
 
+# invoked as `python jobs/run_extract.py`, sys.path[0] is jobs/ — the
+# package lives one level up (ray job submit ships the working dir)
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
