@@ -1,0 +1,54 @@
+"""Every oracle SQL string must execute against the registered views —
+a cheap guard against SQL regressions (the full value comparison runs in
+tools/check_correctness.py and the driver's gate)."""
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def test_all_oracles_execute(con):
+    import __ray_entry__ as e
+
+    oracles = e.oracle_sql()
+    queries = e.queries()
+    assert set(oracles) <= set(queries), "oracle without a matching query"
+    for name, sql in oracles.items():
+        df = con.execute(sql).fetchdf()
+        assert len(df.columns) > 0, name
+
+
+def test_rows_only_set_is_intentional():
+    import __ray_entry__ as e
+
+    rows_only = set(e.queries()) - set(e.oracle_sql())
+    assert rows_only == {
+        "dedup_minhash",
+        "dedup_simhash",
+        "dedup_ngram",
+        "dedup_embedding",
+        "knn_lsh",
+        "np_chunks",
+        "kg_rated",
+    }
