@@ -262,6 +262,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from scoobie_ray.oracle import ORACLES
 
-    # rows-only (non-SQL-expressible): dedup_minhash, dedup_simhash, langid,
-    # knn_lsh (approximate by design)
+    # rows-only (non-SQL-expressible, asserted by
+    # tests/test_oracle_sql.py::test_rows_only_set_is_intentional):
+    # dedup_minhash, dedup_simhash, dedup_ngram, dedup_embedding (LSH
+    # clustering), knn_lsh (approximate by design), np_chunks (POS
+    # heuristic), kg_rated (float relevance scores)
     return dict(ORACLES)

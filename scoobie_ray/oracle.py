@@ -56,7 +56,13 @@ labels AS (
          'http://example.org/ont/Customer' FROM customer
 )"""
 
-# every KB literal occurrence in a doc text at a word boundary
+# Every KB literal occurrence in a doc text at a word boundary.
+# ASSUMPTION (fixture invariant, see sources/fixtures.py): each label occurs
+# at most ONCE per doc text — strpos() models only the FIRST occurrence and
+# applies the word-boundary test only there, while the engine spots every
+# occurrence.  tests/test_oracle_fixture_invariants.py gates this: if a
+# fixture/corpus change ever repeats a label within one doc, generalize this
+# CTE to enumerate all occurrences (generate_series over positions) instead.
 MENTIONS = """
 mentions AS (
   SELECT DISTINCT d.doc_id,

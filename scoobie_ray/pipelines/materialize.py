@@ -43,6 +43,17 @@ def _digest_dir(path: str) -> str:
     return h.hexdigest()
 
 
+def _count_rows(path: str) -> int:
+    """Row count from parquet footers (cheap metadata-only read)."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(os.path.join(path, name)).num_rows
+        for name in os.listdir(path)
+        if name.endswith(".parquet")
+    )
+
+
 def load_manifest(out_dir: str) -> dict[str, dict]:
     path = os.path.join(out_dir, "manifest.jsonl")
     done: dict[str, dict] = {}
@@ -89,16 +100,31 @@ def materialize_partitioned(
             import shutil
 
             shutil.rmtree(tmp_dir)  # torn write from a crashed run
+        if os.path.exists(part_dir):
+            # Crash landed between os.replace(tmp, part) and append_manifest:
+            # the rename is atomic, so an existing part dir is a COMPLETE
+            # write that merely lost its manifest line.  Adopt it (digest +
+            # count from files) instead of re-running — otherwise the rerun's
+            # os.replace onto a non-empty dir raises ENOTEMPTY forever.
+            rows = _count_rows(part_dir)
+            append_manifest(
+                out_dir,
+                {
+                    "partition": pid,
+                    "input": str(pin)[:200],
+                    "rows": rows,
+                    "digest": _digest_dir(part_dir),
+                    "wall_sec": 0.0,
+                    "adopted": True,
+                },
+            )
+            skipped += 1
+            total_rows += rows
+            continue
         t0 = time.time()
         ds = run_pipeline(pin)
         ds.write_parquet(tmp_dir)
-        # count rows from written files (cheap metadata read)
-        import pyarrow.parquet as pq
-
-        rows = 0
-        for name in os.listdir(tmp_dir):
-            if name.endswith(".parquet"):
-                rows += pq.read_metadata(os.path.join(tmp_dir, name)).num_rows
+        rows = _count_rows(tmp_dir)
         os.replace(tmp_dir, part_dir)
         append_manifest(
             out_dir,

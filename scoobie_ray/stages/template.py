@@ -31,15 +31,24 @@ class TemplateFilter:
     types: list[str] = field(default_factory=list)
 
     def resolve(self, kb: KBIndex) -> "ResolvedFilter":
-        props = {
-            i
-            for u in self.datatype_properties
-            if (i := kb.uri_index(u)) is not None
-        }
-        types = {i for u in self.types if (i := kb.uri_index(u)) is not None}
-        return ResolvedFilter(
-            props=props or None, types=types or None, kb=kb
+        """Resolve URIs against the KB dictionary.
+
+        'Not configured' (empty URI list) means no restriction (None);
+        'configured but nothing resolved' means the template scopes to
+        properties/types absent from this KB — that must match NOTHING
+        (empty set), never silently widen to everything.
+        """
+        props = (
+            {i for u in self.datatype_properties if (i := kb.uri_index(u)) is not None}
+            if self.datatype_properties
+            else None
         )
+        types = (
+            {i for u in self.types if (i := kb.uri_index(u)) is not None}
+            if self.types
+            else None
+        )
+        return ResolvedFilter(props=props, types=types, kb=kb)
 
 
 class ResolvedFilter:

@@ -64,6 +64,33 @@ def test_materialize_recovers_torn_write(tmp_path, run_partition):
     assert not any(d.startswith(".tmp") for d in os.listdir(out))
 
 
+def test_materialize_adopts_orphan_part_dir(tmp_path, run_partition):
+    """Crash between os.replace(tmp, part) and append_manifest: the
+    committed part dir exists with no manifest line.  The rerun must adopt
+    it (digest + manifest record), not raise ENOTEMPTY or recompute."""
+    import json
+
+    out = str(tmp_path / "out")
+    parts = _partitions()
+    s1 = materialize_partitioned(parts[:2], run_partition, out)
+    assert s1["completed"] == 2
+    # simulate the crash window: drop shard-120's manifest line, keep its dir
+    man_path = os.path.join(out, "manifest.jsonl")
+    with open(man_path) as f:
+        lines = [ln for ln in f if json.loads(ln)["partition"] != "shard-120"]
+    with open(man_path, "w") as f:
+        f.writelines(lines)
+    assert os.path.isdir(os.path.join(out, "part=shard-120"))
+
+    s2 = materialize_partitioned(parts, run_partition, out)
+    assert s2["completed"] == 1  # only shard-240 runs
+    assert s2["skipped"] == 2
+    man = load_manifest(out)
+    assert man["shard-120"]["adopted"] is True
+    assert man["shard-120"]["rows"] > 0
+    assert s2["total_rows"] == s1["total_rows"] + man["shard-240"]["rows"]
+
+
 def test_partition_digests_deterministic(tmp_path, run_partition):
     out_a = str(tmp_path / "a")
     out_b = str(tmp_path / "b")

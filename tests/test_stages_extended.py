@@ -103,6 +103,28 @@ def test_template_filter_scopes_extraction():
     assert resolved == {"http://example.org/nation/18"}
 
 
+def test_template_filter_unresolvable_matches_nothing():
+    """A filter configured with URIs absent from this KB must match NOTHING
+    (empty set), not silently widen to 'no restriction' (ADVICE r1)."""
+    kb = KBIndex(kg_kb("/root/testdata/sf0.001"))
+    tpl = TemplateFilter(
+        datatype_properties=["http://example.org/ont/notInThisKB"],
+        types=["http://example.org/ont/AlsoMissing"],
+    )
+    rf = tpl.resolve(kb)
+    assert rf.props == set() and rf.types == set()
+    assert rf.literal_subset() == []
+    assert rf.subject_ok(0) is False
+    actor = ExtractActor(kb, template=tpl, emit="annotations")
+    batch = actor.annotate(
+        _doc("Supplier#000000002 operates in NATION_18.", doc_id="t2")
+    )
+    assert batch["resolved_subj"].to_pylist()[0] == []
+    # unconfigured filter still means no restriction
+    rf2 = TemplateFilter().resolve(kb)
+    assert rf2.props is None and rf2.types is None
+
+
 def test_langid_stage_and_full_optional_chain():
     kb = KBIndex(smoke_kb())
     actor = ExtractActor(
