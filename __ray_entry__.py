@@ -71,9 +71,10 @@ def _q_fingerprint(sf_dir: str):
 
 def _q_text_stats(sf_dir: str):
     from scoobie_ray.ops.text import TextStats
+    from scoobie_ray.util import autoscale_concurrency
 
     return _documents(sf_dir).map_batches(
-        TextStats, batch_format="pyarrow", concurrency=2
+        TextStats, batch_format="pyarrow", concurrency=autoscale_concurrency()
     ).select_columns(["doc_id", "n_chars", "n_tokens", "n_bpe", "n_punct"])
 
 
@@ -88,8 +89,10 @@ def _q_quality_flags(sf_dir: str):
 def _q_langid(sf_dir: str):
     from scoobie_ray.ops.text import LangId
 
+    from scoobie_ray.util import autoscale_concurrency
+
     return _documents(sf_dir).map_batches(
-        LangId, batch_format="pyarrow", concurrency=2
+        LangId, batch_format="pyarrow", concurrency=autoscale_concurrency()
     ).select_columns(["doc_id", "lang_pred"])
 
 
@@ -108,17 +111,23 @@ def _q_knn(sf_dir: str):
 
 
 def _q_knn_lsh(sf_dir: str):
+    """ANN via the PERSISTED bucket-partitioned LSH index: build once
+    (hive layout under /tmp), then serve the query set by reading only
+    the probed partition directories (the 100-TB IO-pruning path)."""
+    import tempfile
+
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray.data
 
-    from scoobie_ray.ops.similarity import knn_lsh
+    from scoobie_ray.ops.similarity import build_lsh_index, knn_lsh_indexed
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qt = qt.filter(pc.less(qt["vec_id"], 3))
     dim = len(qt["embedding"][0].as_py())
-    out = knn_lsh(emb, qt["vec_id"].to_pylist(), qt["embedding"].to_pylist(), dim=dim, k=5)
+    index = build_lsh_index(emb, tempfile.mkdtemp(prefix="scoobie-lsh-"), dim=dim, n_bits=8)
+    out = knn_lsh_indexed(index, qt["vec_id"].to_pylist(), qt["embedding"].to_pylist(), k=5)
     return out.select(["query_id", "vec_id", "rank"])
 
 
@@ -188,10 +197,14 @@ def _q_kg_rated(sf_dir: str):
     from scoobie_ray.pipelines.postprocess import top_entities
     from scoobie_ray.sources.fixtures import kg_docs_table, kg_kb
 
+    from scoobie_ray.util import autoscale_concurrency
+
     kb = kg_kb(sf_dir)
     kb_ref = ray.put(kb.tables())
     docs = ray.data.from_arrow(kg_docs_table(sf_dir))
-    annotated = annotate_docs(docs, kb_ref, concurrency=2, rate=True, segment=True)
+    annotated = annotate_docs(
+        docs, kb_ref, concurrency=autoscale_concurrency(cap=8), rate=True, segment=True
+    )
     return top_entities(annotated, kb_ref, k=20).drop_columns(["score"])
 
 

@@ -1,17 +1,36 @@
 """Deduplication operators — exact and near-dup — Ray-Data-first.
 
-All variants follow the scale pattern from the Ray guide: vectorized
-signature computation inside ``map_batches``, explode to (bucket, doc)
-rows, ``groupby`` the bucket (the only shuffle), verify within buckets,
-and resolve winners.  Candidate pairs are collected driver-side only after
-bucketing has bounded them (documented assumption: bucket sizes are small
-relative to corpus; hot buckets are salted by their own content hash).
+Scale design (the whole verify path is distributed; nothing iterates the
+corpus on the driver):
+
+1. *Signatures* are computed vectorized inside ``map_batches`` (numpy
+   byte-shingle packing + one splitmix64 pass — no per-shingle hashing in
+   Python) and exploded to (band_key, doc_id) rows.
+2. *Candidate pairs* come out of the only wide shuffle — a
+   ``groupby(band_key)`` whose ``map_groups`` emits star pairs
+   (min-id ↔ each bucket-mate; union-find restores transitivity).
+3. *Verification* runs inside ``map_groups``:
+   - SimHash carries its 8-byte signature through the band shuffle and
+     verifies Hamming distance directly in the bucket group;
+   - MinHash / n-gram Jaccard need texts: pairs are re-keyed per side,
+     texts attach via ONE ``groupby(doc_id)`` over (corpus ∪ pair-sides),
+     then a ``groupby(pair_key)`` co-locates the two texts and verifies
+     true Jaccard — the corpus text is shuffled once, never per band and
+     never to the driver.
+4. *Resolution*: verified pairs (true duplicates — small relative to the
+   corpus by assumption, stated per function) come to the driver for
+   union-find; the drop set is broadcast via ``ray.put`` and the final
+   filter is a vectorized Arrow anti-semi-join (``pc.is_in`` inverted)
+   inside ``map_batches`` — no closure-captured Python sets, no per-row
+   membership loops.
 
 Variants:
-- :func:`exact_dedup` — hash-partition + per-group first (min doc_id);
+- :func:`exact_dedup` — hash-partition + per-group min id (a ``Min``
+  aggregate on the ids-only fast path);
 - :func:`minhash_dedup` — char-shingle MinHash + LSH banding;
 - :func:`simhash_dedup` — 64-bit SimHash, banded into 4×16-bit chunks;
-- :func:`ngram_jaccard_pairs` — verified Jaccard for candidate pairs;
+- :func:`ngram_dedup` — LSH candidates verified by true word-n-gram
+  Jaccard;
 - :func:`embedding_dedup` — cosine near-dup via random-hyperplane LSH.
 """
 
@@ -19,6 +38,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .text import normalize_text
 
@@ -41,12 +61,22 @@ def _hash_str(s: str) -> int:
 
 
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
-    t = normalize_text(text)
-    if len(t) < k:
-        return np.array([_hash_str(t)], dtype=np.uint64) if t else np.array([], dtype=np.uint64)
-    return np.unique(
-        np.array([_hash_str(t[i : i + k]) for i in range(len(t) - k + 1)], dtype=np.uint64)
-    )
+    """Distinct k-char shingle hashes, fully vectorized: the normalized
+    UTF-8 bytes are viewed as sliding k-windows, packed into uint64
+    (k ≤ 8) and mixed with one splitmix64 pass — no per-shingle Python
+    hashing."""
+    assert k <= 8, "packed-window shingle hashing supports k <= 8"
+    b = np.frombuffer(normalize_text(text).encode("utf-8"), dtype=np.uint8)
+    if len(b) == 0:
+        return np.array([], dtype=np.uint64)
+    if len(b) < k:  # short text: single zero-padded window
+        pad = np.zeros(k, dtype=np.uint8)
+        pad[: len(b)] = b
+        b = pad
+    w = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    weights = np.uint64(1) << (np.uint64(8) * np.arange(k, dtype=np.uint64))
+    packed = (w * weights).sum(axis=1, dtype=np.uint64)  # wraps mod 2^64
+    return np.unique(_splitmix64(packed))
 
 
 def word_ngrams(text: str, n: int = 3) -> set[str]:
@@ -66,19 +96,43 @@ def minhash_signature(shingles: np.ndarray, num_perm: int = 64, seed: int = 42) 
     return mixed.min(axis=1)
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens."""
-    acc = np.zeros(64, dtype=np.int64)
+def simhash_many(texts: list[str]) -> np.ndarray:
+    """64-bit SimHash per text, batch-vectorized: each UNIQUE word across
+    the batch is hashed once (Zipfian vocab ⇒ the md5 count is tiny next
+    to token count); per-doc accumulation is one integer matmul."""
+    from collections import Counter
+
+    word_ids: dict[str, int] = {}
+    counters = []
+    for t in texts:
+        c = Counter(normalize_text(t).split())
+        for w in c:
+            if w not in word_ids:
+                word_ids[w] = len(word_ids)
+        counters.append(c)
+    if not word_ids:
+        return np.zeros(len(texts), dtype=np.uint64)
+    hashes = np.array([_hash_str(w) for w in word_ids], dtype=np.uint64)
     shifts = np.arange(64, dtype=np.uint64)
-    for w in normalize_text(text).split():
-        h = np.uint64(_hash_str(w))
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+    # (n_unique, 64) of ±1
+    bits = (
+        ((hashes[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
+    )
+    powers = np.uint64(1) << shifts
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, c in enumerate(counters):
+        if not c:
+            continue
+        idx = np.fromiter((word_ids[w] for w in c), dtype=np.int64, count=len(c))
+        cnt = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+        acc = cnt @ bits[idx]  # (64,)
+        out[i] = (powers[acc > 0]).sum(dtype=np.uint64)
     return out
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (single-doc convenience wrapper)."""
+    return int(simhash_many([text])[0])
 
 
 def jaccard(a: set, b: set) -> float:
@@ -87,13 +141,26 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / max(1, len(a | b))
 
 
+def jaccard_u64(a: np.ndarray, b: np.ndarray) -> float:
+    """Jaccard of two distinct-hash arrays (from :func:`char_shingles`)."""
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    return inter / max(1, len(a) + len(b) - inter)
+
+
 # ---------------------------------------------------------------------------
+# exact dedup
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", ids_only: bool = False):
     """Exact dedup: hash-partition on normalized-text hash, keep the min id
     per group (deterministic 'first').  Two-phase: the md5 key is computed
-    vectorized per batch; the groupby shuffles only (key, row) once."""
+    vectorized per batch; the groupby shuffles only (key, row) once.
+
+    ``ids_only=True`` returns just the surviving ``id_col`` via a ``Min``
+    aggregate — no per-group Python at all (the scale path when only the
+    winner set is needed)."""
     import pandas as pd
 
     def add_key(batch: pd.DataFrame) -> pd.DataFrame:
@@ -105,52 +172,297 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         ]
         return batch
 
+    keyed = ds.map_batches(add_key, batch_format="pandas")
+    if ids_only:
+        won = keyed.groupby("_dedup_key").min(id_col)  # -> min(id_col)
+        return won.map_batches(
+            lambda b: pa.table({id_col: b[f"min({id_col})"]}),
+            batch_format="pyarrow",
+        )
+
     def keep_first(group: pd.DataFrame) -> pd.DataFrame:
         return group.sort_values(id_col).head(1)
 
     return (
-        ds.map_batches(add_key, batch_format="pandas")
-        .groupby("_dedup_key")
+        keyed.groupby("_dedup_key")
         .map_groups(keep_first, batch_format="pandas")
         .drop_columns(["_dedup_key"])
     )
 
 
-class _MinHashStage:
-    """Actor-pool signature stage: explode each doc into (band_key, doc_id)
-    rows.  band_key embeds the band index and the band's hash digest."""
+# ---------------------------------------------------------------------------
+# shared near-dup machinery
 
-    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 5):
-        assert num_perm % bands == 0
-        self.num_perm = num_perm
-        self.bands = bands
-        self.rows_per_band = num_perm // bands
-        self.shingle_k = shingle_k
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, band_keys = [], []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            sig = minhash_signature(
-                char_shingles(text, self.shingle_k), self.num_perm
-            )
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                digest = int(_splitmix64(np.bitwise_xor.reduce(chunk)[None])[0])
-                band_keys.append(f"{b}:{digest:016x}")
-                doc_ids.append(doc_id)
-        return pa.table(
+def _shuffle_parallelism() -> int:
+    """Block count for the small shuffles: groupby/sort output parallelism
+    follows input block count, so a 1-block input serializes map_groups."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    return max(8, min(64, cpus))
+
+
+def _bucket_star_pairs(sig_ds, id_col: str):
+    """Candidate star pairs (bucket-min ↔ each bucket-mate) WITHOUT
+    per-group Python: a vectorized ``Min``/``Count`` aggregate finds each
+    duplicate bucket's hub, the (small — near-dup buckets are rare by
+    assumption) hub table broadcasts via ``ray.put``, and a vectorized
+    ``np.searchsorted`` lookup inside ``map_batches`` emits the pairs.
+    Union-find downstream restores transitive clusters, as before.
+
+    Returns (pairs_ds | None, n_pairs): the exact candidate-pair count
+    Σ(bucket_count − 1) comes free from the aggregate and lets callers
+    choose the verify strategy without executing the pair dataset."""
+    from ray.data.aggregate import Count, Min
+
+    agg = (
+        sig_ds.repartition(_shuffle_parallelism())
+        .groupby("band_key")
+        .aggregate(Min(id_col), Count())
+    )
+    rows = agg.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["count()"], 2)),
+        batch_format="pyarrow",
+    ).take_all()
+    if not rows:
+        return None, 0
+    n_pairs = sum(r["count()"] - 1 for r in rows)
+    keys = np.array([r["band_key"] for r in rows], dtype=np.uint64)
+    order = np.argsort(keys)
+    keys = keys[order]
+    hubs = np.array([r[f"min({id_col})"] for r in rows], dtype=object)[order]
+    try:
+        import ray
+
+        payload = ray.put((keys, hubs))
+    except Exception:
+        payload = (keys, hubs)
+
+    def emit_pairs(batch: pa.Table) -> pa.Table:
+        import ray
+
+        p = payload
+        if isinstance(p, ray.ObjectRef):
+            p = ray.get(p)
+        wk, wv = p
+        bk = batch["band_key"].to_numpy()
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=object)
+        pos = np.searchsorted(wk, bk)
+        pos = np.minimum(pos, len(wk) - 1)
+        found = wk[pos] == bk
+        hub = wv[pos]
+        mask = found & (hub != ids)
+        return pa.table({"a": pa.array(hub[mask]), "b": pa.array(ids[mask])})
+
+    return sig_ds.map_batches(emit_pairs, batch_format="pyarrow"), n_pairs
+
+
+def _attach_texts_and_verify(pairs_ds, corpus_ds, id_col, text_col, prepare, accept):
+    """Distributed pair verification (no driver text fetch).
+
+    1. explode each candidate pair into two side rows (doc_id, pair, side);
+    2. union with the corpus (side = -1) and ``groupby(doc_id)`` — each
+       group holds one text row plus the pair-sides that need it, so the
+       corpus text is shuffled exactly once;
+    3. ``groupby(pair)`` co-locates both texts; ``accept(prepare(ta),
+       prepare(tb))`` decides inside the group (``prepare`` results are
+       memoized per worker process keyed by doc id — a doc in many pairs
+       is sketched once, not per pair).
+
+    Returns a (a, b) dataset of verified pairs.
+    """
+    import pandas as pd
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        a, b = batch["a"].tolist(), batch["b"].tolist()
+        pk = [f"{x}\x00{y}" for x, y in zip(a, b)]
+        return pd.DataFrame(
             {
-                "band_key": pa.array(band_keys, pa.string()),
-                "doc_id": pa.array(doc_ids),
+                id_col: a + b,
+                "_pair": pk + pk,
+                "_side": [0] * len(a) + [1] * len(b),
+                text_col: [""] * (2 * len(a)),
             }
         )
 
+    def tag_corpus(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col],
+                "_pair": ["" for _ in range(len(batch))],
+                "_side": [-1] * len(batch),
+                text_col: batch[text_col],
+            }
+        )
 
-def _cluster_and_filter(ds, pairs: list[tuple], id_col: str):
-    """Union-find over verified duplicate pairs; drop non-representative
-    docs.  Pairs are bounded by LSH bucketing (see module doc)."""
+    sides = pairs_ds.map_batches(explode, batch_format="pandas")
+    corpus = corpus_ds.select_columns([id_col, text_col]).map_batches(
+        tag_corpus, batch_format="pandas"
+    )
+
+    def attach(group: pd.DataFrame) -> pd.DataFrame:
+        text_rows = group[group["_side"] == -1]
+        need = group[group["_side"] >= 0]
+        if len(text_rows) == 0 or len(need) == 0:
+            return pd.DataFrame(
+                {
+                    "_pair": pd.Series([], dtype=object),
+                    "_side": pd.Series([], dtype=np.int64),
+                    "_pid": group[id_col].iloc[:0],  # keep the original id dtype
+                    text_col: pd.Series([], dtype=object),
+                }
+            )
+        text = text_rows[text_col].iloc[0]
+        return pd.DataFrame(
+            {
+                "_pair": need["_pair"],
+                "_side": need["_side"],
+                "_pid": need[id_col],
+                text_col: text,
+            }
+        )
+
+    withtext = (
+        sides.union(corpus)
+        .repartition(_shuffle_parallelism())
+        .groupby(id_col)
+        .map_groups(attach, batch_format="pandas")
+    )
+
+    sketch_cache: dict = {}  # per worker process; docs repeat across pairs
+
+    def _sketch(pid, text):
+        s = sketch_cache.get(pid)
+        if s is None:
+            if len(sketch_cache) > 65536:
+                sketch_cache.clear()
+            s = sketch_cache[pid] = prepare(text)
+        return s
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": group["_pid"].iloc[:0], "b": group["_pid"].iloc[:0]}
+        )
+        g = group.drop_duplicates("_side")
+        if len(g) != 2:
+            return empty
+        g = g.sort_values("_side")
+        pa_, pb = g["_pid"].iloc[0], g["_pid"].iloc[1]
+        if not accept(_sketch(pa_, g[text_col].iloc[0]), _sketch(pb, g[text_col].iloc[1])):
+            return empty
+        # ids come from the typed _pid column, never parsed back from the
+        # string pair key (which would corrupt int ids into strings)
+        return pd.DataFrame({"a": [pa_], "b": [pb]})
+
+    return withtext.groupby("_pair").map_groups(verify, batch_format="pandas")
+
+
+def _broadcast_verify(pairs_ds, corpus_ds, id_col, text_col, prepare, accept):
+    """Verify path for the common case (candidate pairs RARE — chosen by
+    the caller from the exact pair count): collect the small pair table,
+    gather candidate texts with a DISTRIBUTED filtered scan (only matching
+    rows leave the workers — the driver never iterates the corpus), then
+    verify the pairs distributed against the broadcast text map.
+
+    Returns a verified (a, b) dataset."""
+    import ray
+    import ray.data
+
+    pair_rows = pairs_ds.take_all()
+    if not pair_rows:
+        return ray.data.from_arrow(pa.table({"a": pa.array([]), "b": pa.array([])}))
+    need = {r["a"] for r in pair_rows} | {r["b"] for r in pair_rows}
+    need_arr = pa.array(sorted(need))
+    need_ref = ray.put(need_arr)
+
+    def semi(batch: pa.Table) -> pa.Table:
+        vals = ray.get(need_ref)
+        ids = batch[id_col]
+        if ids.type != vals.type:
+            ids = pc.cast(ids, vals.type)
+        return batch.filter(pc.is_in(ids, value_set=vals))
+
+    cand = (
+        corpus_ds.select_columns([id_col, text_col])
+        .map_batches(semi, batch_format="pyarrow")
+        .take_all()
+    )
+    texts_ref = ray.put({r[id_col]: r[text_col] for r in cand})
+
+    # distinct pairs (duplicates across bands collapse here, driver-side,
+    # on the already-small pair table)
+    distinct = sorted({(r["a"], r["b"]) for r in pair_rows})
+    pair_tbl = pa.table(
+        {
+            "a": pa.array([p[0] for p in distinct]),
+            "b": pa.array([p[1] for p in distinct]),
+        }
+    )
+
+    sketch_cache: dict = {}
+
+    def verify(batch: pa.Table) -> pa.Table:
+        texts = ray.get(texts_ref)
+
+        def sk(pid):
+            s = sketch_cache.get(pid)
+            if s is None:
+                s = sketch_cache[pid] = prepare(texts[pid])
+            return s
+
+        keep_a, keep_b = [], []
+        for x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            if x in texts and y in texts and accept(sk(x), sk(y)):
+                keep_a.append(x)
+                keep_b.append(y)
+        return pa.table({"a": pa.array(keep_a), "b": pa.array(keep_b)})
+
+    # from_arrow yields ONE block; split so verification parallelizes
+    par = _shuffle_parallelism()
+    return (
+        ray.data.from_arrow(pair_tbl)
+        .repartition(min(par, max(1, len(distinct) // 64)))
+        .map_batches(verify, batch_format="pyarrow")
+    )
+
+
+def _near_dedup_lsh(
+    ds,
+    sig_fn,
+    id_col: str,
+    text_col: str,
+    prepare,
+    accept,
+    broadcast_pair_limit: int = 2_000_000,
+):
+    """Shared minhash/ngram skeleton: band signatures → vectorized bucket
+    winners → candidate pairs → verify (broadcast when the exact pair
+    count is small, full shuffle-attach otherwise) → union-find →
+    broadcast anti-join filter."""
+    # materialized: consumed twice (winners aggregate + pair emit); rows are
+    # (uint64, id) — tiny next to the corpus, and the object store spills
+    sig = ds.select_columns([id_col, text_col]).map_batches(
+        sig_fn, batch_format="pyarrow"
+    ).materialize()
+    pairs, n_pairs = _bucket_star_pairs(sig, id_col)
+    if pairs is None:
+        return ds
+    if n_pairs <= broadcast_pair_limit:
+        verified = _broadcast_verify(pairs, ds, id_col, text_col, prepare, accept)
+    else:
+        verified = _attach_texts_and_verify(pairs, ds, id_col, text_col, prepare, accept)
+    return _resolve_and_filter(ds, verified, id_col)
+
+
+def _drop_from_pairs(ds, verified_pairs: list[tuple], id_col: str):
+    """Union-find over VERIFIED duplicate pairs (small relative to the
+    corpus — near-dup rate assumption stated by each caller); the drop set
+    is broadcast once via ``ray.put`` and filtered with a vectorized Arrow
+    anti-semi-join inside ``map_batches``."""
     parent: dict = {}
 
     def find(x):
@@ -159,23 +471,68 @@ def _cluster_and_filter(ds, pairs: list[tuple], id_col: str):
             x = parent[x]
         return x
 
-    for a, b in pairs:
+    for a, b in verified_pairs:
         ra, rb = find(a), find(b)
         if ra != rb:
-            # representative = min id (deterministic)
             lo, hi = (ra, rb) if ra <= rb else (rb, ra)
             parent[hi] = lo
-    drop = {x for x in parent if find(x) != x}
+    drop = sorted(x for x in parent if find(x) != x)
     if not drop:
         return ds
+    drop_arr = pa.array(drop)
+    try:
+        import ray
+
+        drop_ref = ray.put(drop_arr)
+    except Exception:
+        drop_ref = None
 
     def flt(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        vals = drop_arr
+        if drop_ref is not None:
+            import ray
 
-        mask = pa.array([v not in drop for v in batch[id_col].to_pylist()])
-        return batch.filter(mask)
+            vals = ray.get(drop_ref)  # local object-store hit after 1st batch
+        ids = batch[id_col]
+        if ids.type != vals.type:
+            ids = pc.cast(ids, vals.type)
+        return batch.filter(pc.invert(pc.is_in(ids, value_set=vals)))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def _resolve_and_filter(ds, verified_ds, id_col: str):
+    """Collect the (small) verified-pair dataset, cluster, anti-join."""
+    pairs = [(r["a"], r["b"]) for r in verified_ds.take_all()]
+    return _drop_from_pairs(ds, pairs, id_col)
+
+
+# ---------------------------------------------------------------------------
+# MinHash
+
+
+def _minhash_bands_fn(num_perm: int, bands: int, shingle_k: int, id_col: str, text_col: str):
+    assert num_perm % bands == 0
+    rpb = num_perm // bands
+    band_salt = _splitmix64(np.arange(1, bands + 1, dtype=np.uint64))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        n = len(ids)
+        keys = np.empty((n, bands), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sig = minhash_signature(char_shingles(t, shingle_k), num_perm)
+            digest = np.bitwise_xor.reduce(sig.reshape(bands, rpb), axis=1)
+            keys[i] = _splitmix64(digest ^ band_salt)
+        return pa.table(
+            {
+                "band_key": pa.array(keys.reshape(-1), pa.uint64()),
+                id_col: pa.array(np.repeat(np.asarray(ids, dtype=object), bands)),
+            }
+        )
+
+    return fn
 
 
 def minhash_dedup(
@@ -190,110 +547,81 @@ def minhash_dedup(
     """MinHash+LSH near-dedup: shingle→minhash→band→bucket groupby→verify.
 
     Returns the dataset with non-representative near-duplicates removed
-    (representative = min doc_id per duplicate cluster).  The verify step
-    recomputes true shingle Jaccard for bucket-mates (texts fetched via a
-    driver-side filtered read of candidate ids — candidates are rare).
+    (representative = min doc_id per duplicate cluster).  Verification is
+    TRUE shingle Jaccard computed inside ``map_groups`` after a single
+    distributed text-attach shuffle (see module doc); only verified
+    duplicate pairs ever reach the driver.
     """
-    import pandas as pd
-
-    sig = ds.select_columns([id_col, text_col]).map_batches(
-        _MinHashStage,
-        fn_constructor_kwargs={
-            "num_perm": num_perm,
-            "bands": bands,
-            "shingle_k": shingle_k,
-        },
-        batch_format="pyarrow",
-        concurrency=2,
+    return _near_dedup_lsh(
+        ds,
+        _minhash_bands_fn(num_perm, bands, shingle_k, id_col, text_col),
+        id_col,
+        text_col,
+        prepare=lambda t: char_shingles(t, shingle_k),
+        accept=lambda sa, sb: jaccard_u64(sa, sb) >= threshold,
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["doc_id"].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        # pair every bucket-mate with the smallest member (star pattern
-        # keeps hot buckets linear, and union-find restores transitivity)
-        return pd.DataFrame({"a": [ids[0]] * (len(ids) - 1), "b": ids[1:]})
 
-    cand = (
-        sig.groupby("band_key")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    cand_pairs = {tuple(r) for r in cand.itertuples(index=False)}
-    if not cand_pairs:
-        return ds
-
-    need = {x for p in cand_pairs for x in p}
-    texts = {}
-    for batch in ds.select_columns([id_col, text_col]).iter_batches(
-        batch_format="pyarrow"
-    ):
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            if i in need:
-                texts[i] = t
-    verified = []
-    sh_cache: dict = {}
-
-    def sh(i):
-        if i not in sh_cache:
-            sh_cache[i] = set(char_shingles(texts[i], shingle_k).tolist())
-        return sh_cache[i]
-
-    for a, b in cand_pairs:
-        if jaccard(sh(a), sh(b)) >= threshold:
-            verified.append((a, b))
-    return _cluster_and_filter(ds, verified, id_col)
+# ---------------------------------------------------------------------------
+# SimHash
 
 
-class _SimHashStage:
-    def __init__(self):
-        pass
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, band_keys, sigs = [], [], []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            h = simhash64(text)
-            for b in range(4):
-                chunk = (h >> (16 * b)) & 0xFFFF
-                doc_ids.append(doc_id)
-                band_keys.append(f"{b}:{chunk:04x}")
-                sigs.append(h)
+def _simhash_bands_fn(id_col: str, text_col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        sigs = simhash_many(batch[text_col].to_pylist())
+        n = len(ids)
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        chunks = (sigs[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)
+        band_salt = _splitmix64(np.arange(1, 5, dtype=np.uint64))
+        keys = _splitmix64(chunks ^ band_salt[None, :])
         return pa.table(
             {
-                "band_key": pa.array(band_keys, pa.string()),
-                "doc_id": pa.array(doc_ids),
-                "sig": pa.array(sigs, pa.uint64()),
+                "band_key": pa.array(keys.reshape(-1), pa.uint64()),
+                id_col: pa.array(np.repeat(np.asarray(ids, dtype=object), 4)),
+                "sig": pa.array(np.repeat(sigs, 4), pa.uint64()),
             }
         )
 
+    return fn
+
+
+def _hamming_to_first(sigs: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(sigs, sigs[0])
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+
 
 def simhash_dedup(ds, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"):
-    """SimHash near-dedup: identical 16-bit band → candidate; verify by
-    Hamming distance on the full 64-bit signature (≤ max_hamming)."""
+    """SimHash near-dedup: identical 16-bit band → candidate; verification
+    (Hamming ≤ max_hamming on the full 64-bit signature) happens INSIDE the
+    bucket ``map_groups`` — the 8-byte signature rides the band shuffle, so
+    no second pass and no driver text fetch."""
     import pandas as pd
 
     sig = ds.select_columns([id_col, text_col]).map_batches(
-        _SimHashStage, batch_format="pyarrow", concurrency=2
+        _simhash_bands_fn(id_col, text_col), batch_format="pyarrow"
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(group[["doc_id", "sig"]].itertuples(index=False))
-        out_a, out_b = [], []
-        a0, s0 = rows[0]
-        for did, s in rows[1:]:
-            if bin(int(s0) ^ int(s)).count("1") <= max_hamming:
-                out_a.append(a0)
-                out_b.append(did)
-        return pd.DataFrame({"a": out_a, "b": out_b})
+    def bucket_verified_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col)
+        if len(g) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)})
+        ids = g[id_col].tolist()
+        ham = _hamming_to_first(g["sig"].to_numpy(dtype=np.uint64))
+        keep = np.flatnonzero(ham[1:] <= max_hamming) + 1
+        return pd.DataFrame({"a": [ids[0]] * len(keep), "b": [ids[i] for i in keep]})
 
-    cand = (
-        sig.groupby("band_key").map_groups(bucket_pairs, batch_format="pandas").to_pandas()
+    # duplicate (a, b) rows across bands are fine: union-find is idempotent
+    verified = (
+        sig.repartition(_shuffle_parallelism())
+        .groupby("band_key")
+        .map_groups(bucket_verified_pairs, batch_format="pandas")
     )
-    pairs = {tuple(r) for r in cand.itertuples(index=False)}
-    return _cluster_and_filter(ds, list(pairs), id_col)
+    return _resolve_and_filter(ds, verified, id_col)
+
+
+# ---------------------------------------------------------------------------
+# word-n-gram Jaccard
 
 
 def ngram_dedup(
@@ -307,47 +635,20 @@ def ngram_dedup(
 ):
     """Word-n-gram Jaccard near-dedup: MinHash-LSH candidate generation
     (aggressive banding for recall), verification by TRUE word-n-gram
-    Jaccard (the reference-free ngram kernel), union-find clustering."""
-    import pandas as pd
-
-    sig = ds.select_columns([id_col, text_col]).map_batches(
-        _MinHashStage,
-        fn_constructor_kwargs={
-            "num_perm": num_perm,
-            "bands": bands,
-            "shingle_k": 4,
-        },
-        batch_format="pyarrow",
-        concurrency=2,
+    Jaccard inside ``map_groups``, union-find clustering."""
+    return _near_dedup_lsh(
+        ds,
+        _minhash_bands_fn(num_perm, bands, 4, id_col, text_col),
+        id_col,
+        text_col,
+        prepare=lambda t: word_ngrams(t, n),
+        accept=lambda sa, sb: jaccard(sa, sb) >= threshold,
     )
-
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["doc_id"].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        return pd.DataFrame({"a": [ids[0]] * (len(ids) - 1), "b": ids[1:]})
-
-    cand = (
-        sig.groupby("band_key").map_groups(bucket_pairs, batch_format="pandas").to_pandas()
-    )
-    cand_pairs = {tuple(r) for r in cand.itertuples(index=False)}
-    if not cand_pairs:
-        return ds
-    need = {x for p in cand_pairs for x in p}
-    texts = {}
-    for batch in ds.select_columns([id_col, text_col]).iter_batches(
-        batch_format="pyarrow"
-    ):
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            if i in need:
-                texts[i] = t
-    verified = ngram_jaccard_pairs(texts, list(cand_pairs), n=n, threshold=threshold)
-    return _cluster_and_filter(ds, verified, id_col)
 
 
 def ngram_jaccard_pairs(texts: dict, pairs: list[tuple], n: int = 3, threshold: float = 0.8):
-    """Verified word-n-gram Jaccard for candidate pairs (the verify kernel
-    shared by the near-dup paths)."""
+    """Verified word-n-gram Jaccard for candidate pairs (local kernel,
+    kept for tests / library use)."""
     out = []
     cache: dict = {}
 
@@ -360,6 +661,10 @@ def ngram_jaccard_pairs(texts: dict, pairs: list[tuple], n: int = 3, threshold: 
         if jaccard(grams(a), grams(b)) >= threshold:
             out.append((a, b))
     return out
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine
 
 
 class _HyperplaneLSH:
@@ -383,7 +688,8 @@ def embedding_dedup(
     id_col: str = "vec_id",
 ):
     """Embedding-cosine near-dup: normalize → hyperplane-LSH bucket →
-    verify cosine within buckets → drop non-representatives."""
+    verify cosine INSIDE the bucket group (vectors ride the shuffle) →
+    drop non-representatives via broadcast anti-join."""
     import pandas as pd
 
     lsh = _HyperplaneLSH(dim, n_bits)
@@ -410,12 +716,10 @@ def embedding_dedup(
         keep = [i for i in range(1, len(ids)) if sims[i] >= threshold]
         return pd.DataFrame({"a": [ids[0]] * len(keep), "b": [ids[i] for i in keep]})
 
-    cand = (
+    verified = (
         ds.select_columns([id_col, vec_col])
         .map_batches(bucketize, batch_format="pandas")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
     )
-    pairs = {tuple(r) for r in cand.itertuples(index=False)}
-    return _cluster_and_filter(ds, list(pairs), id_col)
+    return _resolve_and_filter(ds, verified, id_col)

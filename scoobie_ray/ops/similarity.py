@@ -2,14 +2,21 @@
 
 Baseline: brute-force cosine top-k — the query matrix is broadcast
 (``ray.put`` once), each batch does one numpy matmul against it and emits
-its local top-k per query; a tiny global merge finishes.  Scale path:
-hyperplane-LSH bucketing (probing the query's bucket and neighbors) so
-only a fraction of the corpus is scanned per query.
+its local top-k per query; a tiny global merge finishes.
+
+Scale path: a PERSISTED hyperplane-LSH bucket index
+(:func:`build_lsh_index` writes the corpus hive-partitioned by bucket;
+:func:`knn_lsh_indexed` reads ONLY the probed partition directories), so
+at 100 TB a query touches a bounded fraction of storage instead of
+re-scanning and re-hashing the corpus per query set.  The directory-level
+pruning is explicit (probed paths are enumerated and handed to
+``read_parquet``) — no reliance on filter pushdown.
 """
 
 from __future__ import annotations
 
 import heapq
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -25,42 +32,39 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
-class _BruteForceStage:
+def _topk_fn(queries_payload, k: int):
     """Per-batch cosine scores vs the broadcast query matrix; emits local
-    top-k rows (query_id, vec_id, score)."""
+    top-k rows (query_id, vec_id, score).  Plain function → task pool
+    (auto-scales with input blocks; no actor-count cap)."""
 
-    def __init__(self, queries_ref, k: int):
-        try:
-            import ray
+    def fn(batch: pa.Table) -> pa.Table:
+        import ray
 
-            if isinstance(queries_ref, ray.ObjectRef):
-                queries_ref = ray.get(queries_ref)
-        except ImportError:
-            pass
-        self.query_ids, qmat = queries_ref
-        self.qmat = _normalize(np.asarray(qmat, dtype=np.float64)).T  # dim x nq
-        self.k = k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = queries_payload
+        if isinstance(payload, ray.ObjectRef):
+            payload = ray.get(payload)  # local object-store hit per worker
+        query_ids, qmat = payload
+        qmat = _normalize(np.asarray(qmat, dtype=np.float64)).T  # dim x nq
         vecs = _normalize(_as_matrix(batch["embedding"].to_pylist()))
         ids = np.asarray(batch["vec_id"].to_pylist())
-        scores = vecs @ self.qmat  # n x nq
-        k = min(self.k, len(ids))
+        scores = vecs @ qmat  # n x nq
+        kk = min(k, len(ids))
         out_q, out_v, out_s = [], [], []
-        for j, qid in enumerate(self.query_ids):
+        for j, qid in enumerate(query_ids):
             col = scores[:, j]
-            top = np.argpartition(-col, k - 1)[:k] if k < len(col) else np.arange(len(col))
-            for i in top:
-                out_q.append(qid)
-                out_v.append(int(ids[i]))
-                out_s.append(float(col[i]))
+            top = np.argpartition(-col, kk - 1)[:kk] if kk < len(col) else np.arange(len(col))
+            out_q.extend([qid] * len(top))
+            out_v.extend(ids[top].tolist())
+            out_s.extend(col[top].tolist())
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_v, pa.int64()),
+                "vec_id": pa.array([int(v) for v in out_v], pa.int64()),
                 "score": pa.array(out_s, pa.float64()),
             }
         )
+
+    return fn
 
 
 def _merge_topk(rows: list[dict], k: int) -> pa.Table:
@@ -100,32 +104,119 @@ def knn_bruteforce(ds, query_ids, query_vecs, k: int = 5) -> pa.Table:
     except Exception:
         payload = (list(query_ids), np.asarray(query_vecs, dtype=np.float64))
     local = ds.select_columns(["vec_id", "embedding"]).map_batches(
-        _BruteForceStage,
-        fn_constructor_kwargs={"queries_ref": payload, "k": k},
-        batch_format="pyarrow",
-        concurrency=2,
+        _topk_fn(payload, k), batch_format="pyarrow"
     )
     return _merge_topk(local.take_all(), k)
 
 
-def knn_lsh(ds, query_ids, query_vecs, dim: int, k: int = 5, n_bits: int = 8) -> pa.Table:
-    """LSH-bucketed ANN: scan only rows whose hyperplane bucket matches a
-    query's bucket (multi-probe: exact bucket + 1-bit flips).  Recall < 1;
-    the scale path when brute force over the full corpus is too slow."""
-    lsh = _HyperplaneLSH(dim, n_bits)
+# ---------------------------------------------------------------------------
+# persisted LSH-bucket index
+
+
+def _probe_set(lsh: _HyperplaneLSH, query_vecs: np.ndarray, n_bits: int, probe_bits: int = 1) -> set[int]:
+    """Buckets to probe: each query's bucket plus all Hamming ≤ probe_bits
+    neighbors (multi-probe for recall)."""
     q = _normalize(np.asarray(query_vecs, dtype=np.float64))
-    q_buckets = lsh.bucket(q.astype(np.float32))
     probe: set[int] = set()
-    for b in q_buckets.tolist():
+    for b in lsh.bucket(q.astype(np.float32)).tolist():
         probe.add(int(b))
-        for bit in range(n_bits):
-            probe.add(int(b) ^ (1 << bit))
+        if probe_bits >= 1:
+            for bit in range(n_bits):
+                probe.add(int(b) ^ (1 << bit))
+        if probe_bits >= 2:
+            for b1 in range(n_bits):
+                for b2 in range(b1 + 1, n_bits):
+                    probe.add(int(b) ^ (1 << b1) ^ (1 << b2))
+    return probe
+
+
+def build_lsh_index(
+    ds,
+    out_dir: str,
+    dim: int,
+    n_bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+):
+    """Write the embedding table hive-partitioned by hyperplane-LSH bucket
+    (``out_dir/bucket=<b>/...``).  Built once; every subsequent query set
+    reads only its probed partitions — the IO-pruning scale path."""
+    import pandas as pd
+
+    lsh = _HyperplaneLSH(dim, n_bits, seed)
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(batch[vec_col].to_numpy()).astype(np.float32)
+        vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        return pd.DataFrame(
+            {
+                "bucket": lsh.bucket(vecs).astype(np.int64),
+                id_col: batch[id_col].to_numpy(),
+                vec_col: list(np.stack(batch[vec_col].to_numpy())),
+            }
+        )
+
+    (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(bucketize, batch_format="pandas")
+        .write_parquet(out_dir, partition_cols=["bucket"])
+    )
+    return {"dir": out_dir, "dim": dim, "n_bits": n_bits, "seed": seed}
+
+
+def probed_partition_paths(index_dir: str, probe: set[int]) -> list[str]:
+    """Partition dirs under the index that match the probe set (explicit
+    directory pruning — the unit tests assert nothing else is read)."""
+    out = []
+    for name in sorted(os.listdir(index_dir)):
+        if not name.startswith("bucket="):
+            continue
+        if int(name.split("=", 1)[1]) in probe:
+            part = os.path.join(index_dir, name)
+            out.extend(
+                os.path.join(part, f)
+                for f in sorted(os.listdir(part))
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def knn_lsh_indexed(
+    index: dict,
+    query_ids,
+    query_vecs,
+    k: int = 5,
+    probe_bits: int = 1,
+) -> pa.Table:
+    """ANN top-k over a persisted :func:`build_lsh_index` layout: probe the
+    query buckets (+ Hamming-``probe_bits`` neighbors), read ONLY those
+    partition directories, brute-force the survivors.  Recall < 1 by
+    design; grows with probe_bits."""
+    import ray.data
+
+    lsh = _HyperplaneLSH(index["dim"], index["n_bits"], index.get("seed", 42))
+    probe = _probe_set(lsh, np.asarray(query_vecs, dtype=np.float64), index["n_bits"], probe_bits)
+    paths = probed_partition_paths(index["dir"], probe)
+    if not paths:
+        return _merge_topk([], k)
+    sub = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+    return knn_bruteforce(sub, query_ids, query_vecs, k)
+
+
+def knn_lsh(ds, query_ids, query_vecs, dim: int, k: int = 5, n_bits: int = 8) -> pa.Table:
+    """In-memory LSH-filtered ANN (no persisted index): scan once, keep
+    rows whose bucket is probed (vectorized ``np.isin``), brute-force the
+    survivors.  Prefer :func:`build_lsh_index` + :func:`knn_lsh_indexed`
+    when the corpus is reused across query sets."""
+    lsh = _HyperplaneLSH(dim, n_bits)
+    probe = _probe_set(lsh, np.asarray(query_vecs, dtype=np.float64), n_bits, probe_bits=1)
+    probe_arr = np.fromiter(probe, dtype=np.int64)
 
     def filter_buckets(batch: pa.Table) -> pa.Table:
         vecs = _normalize(_as_matrix(batch["embedding"].to_pylist())).astype(np.float32)
-        buckets = lsh.bucket(vecs)
-        mask = pa.array([int(b) in probe for b in buckets])
-        return batch.filter(mask)
+        buckets = lsh.bucket(vecs).astype(np.int64)
+        return batch.filter(pa.array(np.isin(buckets, probe_arr)))
 
     filtered = ds.select_columns(["vec_id", "embedding"]).map_batches(
         filter_buckets, batch_format="pyarrow"
