@@ -224,6 +224,24 @@ def _q_dedup_embedding(sf_dir: str):
     return embedding_dedup(ds, dim=dim, threshold=0.98).select_columns(["vec_id"])
 
 
+def _q_kb_parse_turtle(sf_dir: str):
+    """Turtle + gzip ingestion: deterministic dump derived from nation /
+    region (sources/rdf_fixtures.py), parsed distributed (one task per
+    file), cleaned per the reference's RDFTripleParser rules."""
+    from scoobie_ray.kb.parser import read_rdf
+    from scoobie_ray.sources.rdf_fixtures import write_turtle_dump
+
+    return read_rdf(write_turtle_dump(sf_dir))
+
+
+def _q_kb_parse_rdfxml(sf_dir: str):
+    """RDF/XML + bzip2 ingestion over the supplier-derived dump."""
+    from scoobie_ray.kb.parser import read_rdf
+    from scoobie_ray.sources.rdf_fixtures import write_rdfxml_dump
+
+    return read_rdf(write_rdfxml_dump(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from scoobie_ray.pipelines import views
     from scoobie_ray.relational import queries as rq
@@ -242,6 +260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kb_resources": views.kb_resources,
         "kb_cardinalities": views.kb_cardinalities,
         "kb_markov": views.kb_markov,
+        "kb_parse_turtle": _q_kb_parse_turtle,
+        "kb_parse_rdfxml": _q_kb_parse_rdfxml,
         # --- training-data ops ---
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,

@@ -36,6 +36,33 @@ _NT_LINE_RE = re.compile(
     r'(?:<([^>]*)>|"((?:[^"\\]|\\.)*)"(?:\^\^<[^>]*>|@[\w-]+)?)\s*\.\s*$'
 )
 
+_NT_ESCAPE_RE = re.compile(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|[tbnrf\"'\\])")
+_NT_ESCAPE_MAP = {
+    "t": "\t",
+    "b": "\b",
+    "n": "\n",
+    "r": "\r",
+    "f": "\f",
+    '"': '"',
+    "'": "'",
+    "\\": "\\",
+}
+
+
+def unescape_literal(value: str) -> str:
+    """Full N-Triples / Turtle escape set: \\t \\b \\n \\r \\f \\" \\' \\\\
+    plus \\uXXXX / \\UXXXXXXXX (ADVICE r1: partial unescaping corrupted
+    literals like 'a\\nb' into 'anb' once the cleaner stripped the
+    backslash)."""
+
+    def sub(m: re.Match) -> str:
+        e = m.group(1)
+        if e[0] in "uU":
+            return chr(int(e[1:], 16))
+        return _NT_ESCAPE_MAP[e]
+
+    return _NT_ESCAPE_RE.sub(sub, value)
+
 
 def clean_literal(value: str) -> str | None:
     """Clean a literal per RDFTripleParser.java:228-234; None if rejected."""
@@ -72,7 +99,7 @@ def parse_ntriples_lines(lines: list[str]) -> pa.Table:
             os_.append(o_uri)
             lit.append(False)
         else:
-            os_.append(o_lit.replace('\\"', '"').replace("\\\\", "\\"))
+            os_.append(unescape_literal(o_lit))
             lit.append(True)
     return pa.table(
         {
@@ -127,3 +154,387 @@ def split_triples(batch: pa.Table) -> tuple[pa.Table, pa.Table]:
     dt = batch.filter(mask).select(["s", "p", "o"])
     ot = batch.filter(pc.invert(mask)).select(["s", "p", "o"])
     return ot, dt
+
+
+# ---------------------------------------------------------------------------
+# Turtle / N3 (subset) — reference parses these via Sesame Rio
+# (RDFTripleParser.java:382-391 picks the parser from the MIME type;
+# MediaType.java:49-53 lists RDF/XML, Turtle, N3, TriG, TriX).
+
+
+_TTL_TOKEN_RE = re.compile(
+    r"""
+      (?P<comment>\#[^\n]*)
+    | (?P<iri><[^>]*>)
+    | (?P<string>\"\"\"(?:[^"\\]|\\.|\"(?!\"\"))*\"\"\"|"(?:[^"\\\n]|\\.)*")
+    | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
+    | (?P<dtype>\^\^)
+    | (?P<punct>[;,.\[\]()])
+    | (?P<pname>[A-Za-z_][\w.-]*)?:(?P<local>[\w.-]*)
+    | (?P<bnode>_:[\w-]+)
+    | (?P<keyword>@?[A-Za-z_][\w-]*)
+    | (?P<number>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+    """,
+    re.VERBOSE,
+)
+
+
+def _ttl_tokens(text: str):
+    for m in _TTL_TOKEN_RE.finditer(text):
+        kind = m.lastgroup
+        if kind == "comment":
+            continue
+        if m.group("dtype"):
+            yield ("dtype", "^^")
+        elif m.group("iri") is not None:
+            yield ("iri", m.group("iri")[1:-1])
+        elif m.group("string") is not None:
+            s = m.group("string")
+            body = s[3:-3] if s.startswith('"""') else s[1:-1]
+            yield ("string", unescape_literal(body))
+        elif m.group("langtag") is not None:
+            v = m.group("langtag")
+            if v.lower() in ("@prefix", "@base"):
+                yield ("keyword", v)  # directives, not language tags
+            else:
+                yield ("langtag", v)
+        elif m.group("punct") is not None:
+            yield ("punct", m.group("punct"))
+        elif m.group("local") is not None and m.group(0).find(":") != -1:
+            if m.group(0).startswith("_:"):
+                yield ("bnode", m.group(0))  # pname pattern shadows bnodes
+            else:
+                yield ("pname", ((m.group("pname") or ""), m.group("local")))
+        elif m.group("bnode") is not None:
+            yield ("bnode", m.group("bnode"))
+        elif m.group("keyword") is not None:
+            yield ("keyword", m.group("keyword"))
+        elif m.group("number") is not None:
+            yield ("number", m.group("number"))
+
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def parse_turtle(text: str, base: str = "") -> pa.Table:
+    """Turtle / N3 subset parser → (s, p, o, o_is_literal) table.
+
+    Supports @prefix/@base (and SPARQL-style PREFIX/BASE), prefixed names,
+    the ``a`` keyword, ``;`` / ``,`` continuation, quoted and
+    triple-quoted literals with language tags and datatypes, numeric
+    literal shorthand, comments, and blank-node subjects.  Mirrors the
+    reference's Sesame-based handling (RDFTripleParser.java:190-240):
+    blank-node OBJECTS are skipped ("bad triple"), blank-node subjects
+    pass through as strings.  Collections are not supported (absent from
+    the targeted dump formats)."""
+    prefixes: dict[str, str] = {}
+    toks = list(_ttl_tokens(text))
+    ss, ps, os_, lit = [], [], [], []
+    i, n = 0, len(toks)
+
+    def resolve(tok) -> str | None:
+        kind, val = tok
+        if kind == "iri":
+            return base + val if val and not re.match(r"^[A-Za-z][\w+.-]*:", val) else val
+        if kind == "pname":
+            pre, local = val
+            ns = prefixes.get(pre)
+            return None if ns is None else ns + local
+        if kind == "bnode":
+            return val
+        return None
+
+    def emit(s, p, obj_tok, dtype_follows):
+        nonlocal i
+        kind, val = obj_tok
+        if kind in ("string", "number"):
+            o = val
+            # consume optional langtag / ^^datatype
+            if i < n and toks[i][0] == "langtag":
+                i += 1
+            elif i < n and toks[i][0] == "dtype":
+                i += 2  # ^^ + datatype iri/pname
+            ss.append(s)
+            ps.append(p)
+            os_.append(o)
+            lit.append(True)
+        elif kind == "keyword" and val in ("true", "false"):
+            ss.append(s)
+            ps.append(p)
+            os_.append(val)
+            lit.append(True)
+        elif kind == "bnode":
+            return  # reference skips bnode objects ("bad triple")
+        else:
+            o = resolve(obj_tok)
+            if o is not None:
+                ss.append(s)
+                ps.append(p)
+                os_.append(o)
+                lit.append(False)
+
+    while i < n:
+        kind, val = toks[i]
+        if kind == "keyword" and val.lower() in ("@prefix", "prefix"):
+            # @prefix pre: <iri> .
+            pre_tok = toks[i + 1]
+            iri_tok = toks[i + 2]
+            if pre_tok[0] == "pname" and iri_tok[0] == "iri":
+                prefixes[pre_tok[1][0]] = iri_tok[1]
+            i += 3
+            if i < n and toks[i] == ("punct", "."):
+                i += 1
+            continue
+        if kind == "keyword" and val.lower() in ("@base", "base"):
+            if toks[i + 1][0] == "iri":
+                base = toks[i + 1][1]
+            i += 2
+            if i < n and toks[i] == ("punct", "."):
+                i += 1
+            continue
+        # subject
+        subj = resolve(toks[i])
+        i += 1
+        if subj is None:
+            # skip to end of statement
+            while i < n and toks[i] != ("punct", "."):
+                i += 1
+            i += 1
+            continue
+        # predicate-object list
+        while i < n:
+            if toks[i] == ("punct", "."):
+                i += 1
+                break
+            if toks[i] == ("punct", ";"):
+                i += 1
+                if i < n and toks[i] == ("punct", "."):  # trailing ;
+                    i += 1
+                    break
+                continue
+            pk, pv = toks[i]
+            if pk == "keyword" and pv == "a":
+                pred = _RDF_TYPE
+            else:
+                pred = resolve(toks[i])
+            i += 1
+            if pred is None:
+                continue
+            # object list (comma-separated)
+            while i < n:
+                obj_tok = toks[i]
+                i += 1
+                emit(subj, pred, obj_tok, False)
+                if i < n and toks[i] == ("punct", ","):
+                    i += 1
+                    continue
+                break
+    return pa.table(
+        {
+            "s": pa.array(ss, pa.string()),
+            "p": pa.array(ps, pa.string()),
+            "o": pa.array(os_, pa.string()),
+            "o_is_literal": pa.array(lit, pa.bool_()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# RDF/XML (subset)
+
+
+def parse_rdfxml(text: str, base: str = "") -> pa.Table:
+    """RDF/XML subset parser → (s, p, o, o_is_literal) table.
+
+    Supports rdf:Description and typed node elements (→ rdf:type triple),
+    rdf:about / rdf:ID / rdf:nodeID subjects, property elements with
+    rdf:resource objects, literal text content (rdf:datatype / xml:lang
+    accepted and dropped — the reference keeps only the lexical form),
+    nested node elements, and property attributes."""
+    import xml.etree.ElementTree as ET
+
+    RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    root = ET.fromstring(text)
+    ss, ps, os_, lit = [], [], [], []
+
+    def expand(tag: str) -> str:
+        return tag[1:].replace("}", "") if tag.startswith("{") else tag
+
+    def node_subject(el) -> str | None:
+        about = el.get(f"{{{RDF_NS}}}about")
+        if about is not None:
+            return about
+        rid = el.get(f"{{{RDF_NS}}}ID")
+        if rid is not None:
+            return f"{base}#{rid}"
+        nid = el.get(f"{{{RDF_NS}}}nodeID")
+        if nid is not None:
+            return f"_:{nid}"
+        return None
+
+    def walk_node(el):
+        subj = node_subject(el)
+        if subj is None:
+            return None
+        tag = expand(el.tag)
+        if tag != RDF_NS + "Description":
+            ss.append(subj)
+            ps.append(_RDF_TYPE)
+            os_.append(tag)
+            lit.append(False)
+        # property attributes (non-rdf namespace) are literal triples
+        for k, v in el.attrib.items():
+            ku = expand(k)
+            if ku.startswith(RDF_NS) or ku.startswith("http://www.w3.org/XML/"):
+                continue
+            ss.append(subj)
+            ps.append(ku)
+            os_.append(v)
+            lit.append(True)
+        for prop in el:
+            pred = expand(prop.tag)
+            res = prop.get(f"{{{RDF_NS}}}resource")
+            if res is not None:
+                ss.append(subj)
+                ps.append(pred)
+                os_.append(res)
+                lit.append(False)
+                continue
+            children = list(prop)
+            if children:
+                nested = walk_node(children[0])
+                if nested is not None and not nested.startswith("_:"):
+                    ss.append(subj)
+                    ps.append(pred)
+                    os_.append(nested)
+                    lit.append(False)
+                continue
+            text_val = (prop.text or "").strip()
+            ss.append(subj)
+            ps.append(pred)
+            os_.append(text_val)
+            lit.append(True)
+        return subj
+
+    rdf_root = expand(root.tag) == RDF_NS + "RDF"
+    for el in (root if rdf_root else [root]):
+        walk_node(el)
+    return pa.table(
+        {
+            "s": pa.array(ss, pa.string()),
+            "p": pa.array(ps, pa.string()),
+            "o": pa.array(os_, pa.string()),
+            "o_is_literal": pa.array(lit, pa.bool_()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# compression + dispatch (RDFTripleParser.java:84-99 getStream: BZIP /
+# GZIP / ZIP wrapped transparently around the format parser)
+
+
+def _open_bytes(path: str) -> list[bytes]:
+    """Read raw document bytes, transparently decompressing by magic
+    number; a zip archive yields one document per entry."""
+    with open(path, "rb") as f:
+        head = f.read(4)
+        f.seek(0)
+        raw = f.read()
+    if head[:2] == b"\x1f\x8b":
+        import gzip
+
+        return [gzip.decompress(raw)]
+    if head[:3] == b"BZh":
+        import bz2
+
+        return [bz2.decompress(raw)]
+    if head[:2] == b"PK":
+        import io
+        import zipfile
+
+        out = []
+        with zipfile.ZipFile(io.BytesIO(raw)) as z:
+            for name in sorted(z.namelist()):
+                if not name.endswith("/"):
+                    out.append(z.read(name))
+        return out
+    return [raw]
+
+
+_FORMAT_BY_EXT = {
+    ".nt": "nt",
+    ".ttl": "ttl",
+    ".n3": "ttl",
+    ".rdf": "rdfxml",
+    ".owl": "rdfxml",
+    ".xml": "rdfxml",
+}
+
+
+def detect_format(path: str) -> str:
+    p = path.lower()
+    for comp_ext in (".gz", ".bz2", ".zip"):
+        if p.endswith(comp_ext):
+            p = p[: -len(comp_ext)]
+            break
+    for ext, fmt in _FORMAT_BY_EXT.items():
+        if p.endswith(ext):
+            return fmt
+    return "nt"
+
+
+def parse_rdf_text(text: str, fmt: str) -> pa.Table:
+    if fmt == "nt":
+        return parse_ntriples_lines(text.splitlines())
+    if fmt == "ttl":
+        return parse_turtle(text)
+    if fmt == "rdfxml":
+        return parse_rdfxml(text)
+    raise ValueError(f"unknown RDF format: {fmt}")
+
+
+def parse_rdf_file(path: str, fmt: str | None = None) -> pa.Table:
+    """Parse one (possibly compressed) RDF document into a raw
+    (s, p, o, o_is_literal) table.  Apply :func:`clean_triples` after."""
+    fmt = fmt or detect_format(path)
+    tables = [
+        parse_rdf_text(doc.decode("utf-8", errors="replace"), fmt)
+        for doc in _open_bytes(path)
+    ]
+    return pa.concat_tables(tables) if tables else parse_rdf_text("", fmt)
+
+
+def read_rdf(paths: list[str], fmt: str | None = None, clean: bool = True):
+    """Distributed RDF ingestion: one worker task per file (Turtle and
+    RDF/XML are document-scoped formats — prefixes/namespaces forbid
+    line-splitting), cleaning applied per batch.  For huge single-file
+    N-Triples dumps prefer :func:`read_ntriples_lines_ds`, which splits by
+    line via ``read_text``."""
+    import ray.data
+
+    def parse_batch(batch: pa.Table) -> pa.Table:
+        tables = [
+            parse_rdf_file(p, fmt) for p in batch["path"].to_pylist()
+        ]
+        t = pa.concat_tables(tables)
+        return clean_triples(t) if clean else t
+
+    return ray.data.from_items([{"path": p} for p in paths]).map_batches(
+        parse_batch, batch_size=1, batch_format="pyarrow"
+    )
+
+
+def read_ntriples_lines_ds(paths: list[str], clean: bool = True):
+    """Scale path for line-based N-Triples dumps: ``read_text`` splits
+    files into line blocks (gzip handled by Arrow), parsing and cleaning
+    run vectorized per block."""
+    import ray.data
+
+    ds = ray.data.read_text(paths)
+
+    def parse_batch(batch: pa.Table) -> pa.Table:
+        t = parse_ntriples_lines(batch["text"].to_pylist())
+        return clean_triples(t) if clean else t
+
+    return ds.map_batches(parse_batch, batch_format="pyarrow")

@@ -522,3 +522,57 @@ FROM supplier JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """
+
+# ---- RDF parser coverage (mirror of sources/rdf_fixtures.py — change
+# BOTH or neither; the dump is derived from nation/region/supplier, the
+# parser cleans it per kb/parser.py, survivors are listed here) ----------
+
+ORACLES["kb_parse_turtle"] = """
+WITH t AS (
+  SELECT 'http://example.org/nation/' || n_nationkey AS s,
+         'http://www.w3.org/2000/01/rdf-schema#label' AS p,
+         n_name AS o, TRUE AS o_is_literal FROM nation
+  UNION ALL
+  SELECT 'http://example.org/nation/' || n_nationkey,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         'http://example.org/ont/Nation', FALSE FROM nation
+  UNION ALL
+  SELECT 'http://example.org/nation/' || n_nationkey,
+         'http://example.org/ont/inRegion',
+         'http://example.org/region/' || n_regionkey, FALSE FROM nation
+  UNION ALL
+  SELECT 'http://example.org/region/' || r_regionkey,
+         'http://www.w3.org/2000/01/rdf-schema#label',
+         r_name, TRUE FROM region
+  UNION ALL
+  SELECT 'http://example.org/region/' || r_regionkey,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         'http://example.org/ont/Region', FALSE FROM region
+  UNION ALL
+  -- the escaped literal (a, newline, b, tab, c) survives cleaning as
+  -- 'abc'; the over-long URI, the 1-char and the 150-char literals are
+  -- dropped by the parser's filters
+  SELECT 'http://example.org/escape/1',
+         'http://www.w3.org/2000/01/rdf-schema#comment', 'abc', TRUE
+)
+SELECT s, p, o, o_is_literal FROM t
+"""
+
+ORACLES["kb_parse_rdfxml"] = """
+WITH t AS (
+  SELECT 'http://example.org/supplier/' || s_suppkey AS s,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+         'http://example.org/ont/Supplier' AS o, FALSE AS o_is_literal
+  FROM supplier
+  UNION ALL
+  SELECT 'http://example.org/supplier/' || s_suppkey,
+         'http://www.w3.org/2000/01/rdf-schema#label', s_name, TRUE
+  FROM supplier
+  UNION ALL
+  SELECT 'http://example.org/supplier/' || s_suppkey,
+         'http://example.org/ont/inNation',
+         'http://example.org/nation/' || s_nationkey, FALSE
+  FROM supplier
+)
+SELECT s, p, o, o_is_literal FROM t
+"""
