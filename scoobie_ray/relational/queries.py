@@ -102,29 +102,24 @@ def nation_lineitem_counts(sf_dir: str):
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     nname = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
-    cust_nation = {
-        c: nname[n]
-        for c, n in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
-    }
-    cn_ref = ray.put(cust_nation)
+    # broadcast (key array, value array) once; lookups are a vectorized
+    # Arrow dictionary join (pc.index_in + take), no per-row Python
+    cn_ref = ray.put(
+        (
+            cust["c_custkey"].combine_chunks(),
+            pa.array(
+                [nname[n] for n in cust["c_nationkey"].to_pylist()], pa.string()
+            ),
+        )
+    )
 
-    class MapNation:
-        def __init__(self, ref):
-            self.map = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            names = [self.map[c] for c in t["o_custkey"].to_pylist()]
-            return pa.table(
-                {"n_name": pa.array(names, pa.string()), "li_n": t["li_n"]}
-            )
+    def map_nation(t: pa.Table) -> pa.Table:
+        keys, vals = ray.get(cn_ref)
+        idx = pc.index_in(t["o_custkey"], value_set=keys)
+        return pa.table({"n_name": pc.take(vals, idx), "li_n": t["li_n"]})
 
     per_nation = (
-        joined.map_batches(
-            MapNation,
-            fn_constructor_kwargs={"ref": cn_ref},
-            batch_format="pyarrow",
-            concurrency=2,
-        )
+        joined.map_batches(map_nation, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Sum("li_n", alias_name="n_items_f"))
     )
@@ -287,13 +282,20 @@ def distinct_event_types(sf_dir: str):
     Output: event_type."""
     ds = _read(sf_dir, "events", ["event_type"])
 
+    from ray.data.aggregate import Count
+
     def partial(t: pa.Table) -> pa.Table:
         return t.group_by("event_type").aggregate([]).select(["event_type"])
 
+    # per-batch distinct (combiner) then a Count aggregate — no per-group
+    # Python head(1); the count column is dropped after the shuffle
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("event_type")
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .aggregate(Count())
+        .map_batches(
+            lambda t: t.select(["event_type"]), batch_format="pyarrow"
+        )
     )
 
 
@@ -385,29 +387,27 @@ def supplier_nation_join(sf_dir: str):
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
     region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
     rname = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
-    n2r = {
-        n: rname[r]
-        for n, r in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
-    }
-    ref = ray.put(n2r)
+    ref = ray.put(
+        (
+            nation["n_nationkey"].combine_chunks(),
+            pa.array(
+                [rname[r] for r in nation["n_regionkey"].to_pylist()], pa.string()
+            ),
+        )
+    )
 
-    class ToRegion:
-        def __init__(self, ref):
-            self.map = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            names = [self.map[n] for n in t["s_nationkey"].to_pylist()]
-            g = pa.table({"r_name": pa.array(names, pa.string())})
-            g = g.group_by("r_name").aggregate([("r_name", "count")])
-            return g.rename_columns(["r_name", "part_n"])
+    def to_region(t: pa.Table) -> pa.Table:
+        keys, vals = ray.get(ref)
+        idx = pc.index_in(t["s_nationkey"], value_set=keys)
+        g = pa.table({"r_name": pc.take(vals, idx)})
+        g = g.group_by("r_name").aggregate([("r_name", "count")])
+        return g.rename_columns(["r_name", "part_n"])
 
     ds = _read(sf_dir, "supplier", ["s_nationkey"])
     agg = (
         ds.map_batches(
-            ToRegion,
-            fn_constructor_kwargs={"ref": ref},
+            to_region,
             batch_format="pyarrow",
-            concurrency=2,
         )
         .groupby("r_name")
         .aggregate(Sum("part_n", alias_name="n_f"))
