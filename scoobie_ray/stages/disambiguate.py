@@ -132,9 +132,31 @@ class Disambiguator:
     """Actor-pool map_batches stage; KB adjacency built once per actor."""
 
     def __init__(
-        self, kb, resolver: str = "degree", template=None, expansion_hops: int = 1
+        self,
+        kb,
+        resolver: str = "degree",
+        template=None,
+        expansion_hops: int = 1,
+        expansion: str = "anchor",
+        expansion_max_set: int = 512,
     ):
+        """``expansion``:
+
+        - ``"anchor"`` (default): anchor-centric 1-hop (+ optional 2-hop
+          via ``expansion_hops=2``) — the fast vectorized path whose
+          winners the kg_resolved oracle locks;
+        - ``"bfs"``: the reference's full expansion
+          (EntityDisambiguation.java:225-293) — iterative forward
+          traversal in ascending-ambiguity order until no ambiguous set
+          remains (intermediate KB nodes join the graph), backward
+          expansion into still-disconnected sets (:409-435), and leaf
+          pruning (:158-172).  ``expansion_max_set`` bounds per-set
+          forward expansion (the reference is uncapped; hub ambiguity
+          sets would otherwise pull in whole KB neighborhoods).
+        """
         self.expansion_hops = expansion_hops
+        self.expansion = expansion
+        self.expansion_max_set = expansion_max_set
         self.kb = resolve_kb(kb)
         self.filter = (
             template.resolve(self.kb)
@@ -221,6 +243,98 @@ class Disambiguator:
                     if o not in anchors:  # anchor edges already counted
                         _add(s, o)
         return lit_edges, out_adj, in_adj, nodes
+
+    def _graph_for_bfs(
+        self, lit_candidates: dict[int, list[int]]
+    ) -> tuple[Scores, dict[int, list[int]], dict[int, list[int]], set[int]]:
+        """Reference-faithful graph construction
+        (EntityDisambiguation.java:225-293, :409-435, :158-172):
+
+        1. candidates grouped by their literal's ambiguity; forward
+           expansion (non-type OUTGOING edges, intermediate KB objects
+           join the graph) proceeds in ASCENDING ambiguity order —
+           unambiguous anchors first — re-checking after each level and
+           stopping as soon as no ambiguous set remains disconnected;
+        2. backward expansion (INCOMING edges) into each set still
+           disconnected after the forward sweep;
+        3. leaf pruning: unlabeled intermediates with in-degree ≤ 1 and
+           out-degree ≤ 1 are removed with their edges.
+        """
+        labeled: set[int] = set()
+        for subs in lit_candidates.values():
+            labeled.update(int(s) for s in subs)
+
+        lit_edges: Scores = {}
+        for subs in lit_candidates.values():
+            for s in subs:
+                lit_edges[s] = lit_edges.get(s, 0.0) + 1.0
+
+        out_adj: dict[int, set[int]] = {}
+        in_adj: dict[int, set[int]] = {}
+
+        def _add(a: int, b: int) -> None:
+            out_adj.setdefault(a, set()).add(b)
+            in_adj.setdefault(b, set()).add(a)
+
+        def _connected(subs) -> bool:
+            # isConnected (:326-337): any subject with a graph neighbor
+            return any(s in out_adj or s in in_adj for s in subs)
+
+        multi_sets = [subs for subs in lit_candidates.values() if len(subs) > 1]
+
+        # ambiguityRanking: cardinality -> refs (:229-252)
+        by_card: dict[int, set[int]] = {}
+        for subs in lit_candidates.values():
+            by_card.setdefault(len(subs), set()).update(int(s) for s in subs)
+
+        expanded: set[int] = set()
+        for card in sorted(by_card):
+            if card > self.expansion_max_set:
+                break
+            clear = by_card[card] - expanded
+            for a in clear:
+                preds, objs = self.kb.outgoing(a)
+                if len(objs):
+                    mask = (preds != self.type_pred) & (objs != a)
+                    for o in objs[mask].tolist():
+                        _add(a, int(o))
+            expanded |= clear
+            if all(_connected(s) for s in multi_sets):
+                break
+
+        # backward pass into still-disconnected ambiguous sets
+        for subs in multi_sets:
+            if _connected(subs) or len(subs) > self.expansion_max_set:
+                continue
+            for s in subs:
+                preds, inc = self.kb.incoming(int(s))
+                if len(inc):
+                    mask = (preds != self.type_pred) & (inc != s)
+                    for x in inc[mask].tolist():
+                        _add(int(x), int(s))
+
+        # leaf pruning (pruneGraph :158-172)
+        all_nodes = labeled | set(out_adj) | set(in_adj)
+        leaves = {
+            v
+            for v in all_nodes
+            if v not in labeled
+            and len(in_adj.get(v, ())) <= 1
+            and len(out_adj.get(v, ())) <= 1
+        }
+        for v in leaves:
+            for src in in_adj.pop(v, set()):
+                out_adj[src].discard(v)
+            for dst in out_adj.pop(v, set()):
+                in_adj[dst].discard(v)
+            all_nodes.discard(v)
+
+        return (
+            lit_edges,
+            {k: sorted(v) for k, v in out_adj.items()},
+            {k: sorted(v) for k, v in in_adj.items()},
+            all_nodes,
+        )
 
     def _candidates(self, lit: int) -> tuple[list[int], list[int]]:
         hit = self._cand.get(lit)
@@ -376,13 +490,14 @@ class Disambiguator:
                 lit_candidates[lit] = subs
         if not lit_candidates:
             winners = {}
-        elif self.resolver_name == "degree":
+        elif self.resolver_name == "degree" and self.expansion != "bfs":
             flat = self._winners_degree(lit_candidates)
             winners = {
                 lit: (win, self._prop_for(lit, win)) for lit, win in flat.items()
             }
         else:
-            lit_edges, out_adj, in_adj, nodes = self._graph_for(lit_candidates)
+            build = self._graph_for_bfs if self.expansion == "bfs" else self._graph_for
+            lit_edges, out_adj, in_adj, nodes = build(lit_candidates)
             scores = self.resolver(lit_edges, out_adj, in_adj, nodes)
             winners = {}
             for lit, subs in lit_candidates.items():

@@ -139,3 +139,93 @@ def test_two_hop_expansion_discriminates():
     )
     subs2 = {kb.uri(s) for s in two_hop["resolved_subj"].to_pylist()[0]}
     assert "http://e/lee2" in subs2  # path lee2 -> club -> berlin wins
+
+
+def test_bfs_expansion_resolves_where_one_hop_ties():
+    """Full reference expansion (EntityDisambiguation.java:225-293):
+    forward traversal in ascending-ambiguity order pulls intermediate KB
+    nodes into the graph; a shared intermediate (in-degree 2, surviving
+    leaf pruning :158-172) connects the right candidate to the anchor.
+    The default anchor-centric 1-hop cannot see it and falls back to the
+    lexicographic tie-break — picking the WRONG candidate here by
+    construction (the right one sorts last)."""
+    ONT = "http://example.org/ont/"
+    rows = [
+        # two people named Kim; the RIGHT one has the lexicographically
+        # LARGER uri, so a tie-break would pick the wrong one
+        ("http://e/a1", RDFS_LABEL, "Kim", True),
+        ("http://e/z1", RDFS_LABEL, "Kim", True),
+        ("http://e/berlin", RDFS_LABEL, "Berlin", True),
+        # shared unlabeled intermediate: berlin -> X <- z1 (in-degree 2)
+        ("http://e/berlin", ONT + "partOf", "http://e/x", False),
+        ("http://e/z1", ONT + "memberOf", "http://e/x", False),
+        # decoy leaf for the wrong candidate (pruned: in 1 / out 0)
+        ("http://e/a1", ONT + "memberOf", "http://e/y", False),
+    ]
+    t = pa.table(
+        {
+            "s": [r[0] for r in rows],
+            "p": [r[1] for r in rows],
+            "o": [r[2] for r in rows],
+            "o_is_literal": [r[3] for r in rows],
+        }
+    )
+    kb = KBIndex(build_kb_from_triples(t))
+    docs = _docs(["Kim arrived in Berlin."])
+    linked = Linker(kb)(Spotter(kb)(docs))
+
+    one_hop = Disambiguator(kb)(linked)
+    subs1 = {kb.uri(s) for s in one_hop["resolved_subj"].to_pylist()[0]}
+    assert "http://e/a1" in subs1  # tie-break picks the wrong candidate
+
+    bfs = Disambiguator(kb, expansion="bfs")(linked)
+    subs2 = {kb.uri(s) for s in bfs["resolved_subj"].to_pylist()[0]}
+    assert "http://e/z1" in subs2 and "http://e/a1" not in subs2
+
+
+def test_bfs_leaf_pruning_removes_single_use_intermediates():
+    """An intermediate reachable only through ONE candidate (in 1 / out 1
+    after backward expansion) is pruned, so it cannot inflate that
+    candidate's degree — mirrors pruneGraph (:158-172)."""
+    ONT = "http://example.org/ont/"
+    rows = [
+        ("http://e/a1", RDFS_LABEL, "Kim", True),
+        ("http://e/z1", RDFS_LABEL, "Kim", True),
+        ("http://e/berlin", RDFS_LABEL, "Berlin", True),
+        # z1's path to berlin goes through a 1-in/1-out chain node: pruned
+        ("http://e/z1", ONT + "worksAt", "http://e/club", False),
+        ("http://e/club", ONT + "locatedIn", "http://e/berlin", False),
+    ]
+    t = pa.table(
+        {
+            "s": [r[0] for r in rows],
+            "p": [r[1] for r in rows],
+            "o": [r[2] for r in rows],
+            "o_is_literal": [r[3] for r in rows],
+        }
+    )
+    kb = KBIndex(build_kb_from_triples(t))
+    docs = _docs(["Kim arrived in Berlin."])
+    linked = Linker(kb)(Spotter(kb)(docs))
+    bfs = Disambiguator(kb, expansion="bfs")(linked)
+    subs = {kb.uri(s) for s in bfs["resolved_subj"].to_pylist()[0]}
+    # club pruned -> degrees tie -> smallest uri (faithful to reference)
+    assert "http://e/a1" in subs
+
+
+def test_bfs_mode_keeps_connected_candidate_semantics():
+    """Sanity: on the direct-edge fixture the BFS graph resolves the same
+    winners as the anchor path, for every resolver."""
+    kb = _ambig_kb()
+    docs = _docs(["Smith lives in Paris.", "Smith lives in Berlin."])
+    linked = Linker(kb)(Spotter(kb)(docs))
+    # pagerank excluded: an out-edge raises the TARGET's rank, not the
+    # source's, so it cannot discriminate on this fixture (same for the
+    # reference's PageRankBasedResolver)
+    for name in ["degree", "capacity", "hits2"]:
+        bfs = Disambiguator(kb, resolver=name, expansion="bfs")(linked)
+        resolved = [
+            {kb.uri(s) for s in row} for row in bfs["resolved_subj"].to_pylist()
+        ]
+        assert "http://e/p2" in resolved[0], name
+        assert "http://e/p1" in resolved[1], name
