@@ -1,0 +1,168 @@
+"""TriG serialization of the 3-graph extraction output.
+
+The reference exports one TriG document per input document with the
+named graphs ``<ns>#recognized`` / ``<ns>#predicted`` / ``<ns>#known``
+(postprocessor/RDFSerializer.java:55-113: recognized mention literals get
+an ``@en`` language tag; everything else is URI-valued).  Here the
+canonical ENCODED triple dataset (s, p, o, o_is_lit, g, …) decodes and
+serializes per block — ``write_trig`` emits one ``.trig`` part file per
+block into a directory (named-graph blocks may repeat across parts;
+TriG permits reopening a graph), which keeps the write distributed and
+resumable; ``to_trig_string`` renders a single deterministic document
+for small results and round-trip tests.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .serialize import GRAPHS
+from .spot import resolve_kb
+
+_ESCAPES = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\r": "\\r", "\t": "\\t"}
+
+
+def trig_escape(s: str) -> str:
+    return "".join(_ESCAPES.get(c, c) for c in s)
+
+
+def _format_lines(
+    subj: list[str],
+    pred: list[str],
+    obj: list[str],
+    is_lit: list[bool],
+    graph: list[str],
+    namespace: str,
+    lang: str = "en",
+) -> str:
+    """Render one TriG fragment: triples grouped into graph blocks in
+    GRAPHS order, deterministic (sorted) within each block."""
+    by_graph: dict[str, list[str]] = {}
+    for s, p, o, li, g in zip(subj, pred, obj, is_lit, graph):
+        if li:
+            term = f'"{trig_escape(o)}"@{lang}'
+        else:
+            term = f"<{o}>"
+        by_graph.setdefault(g, []).append(f"  <{s}> <{p}> {term} .")
+    parts = []
+    for g in GRAPHS:
+        lines = by_graph.pop(g, None)
+        if lines is None:
+            continue
+        parts.append(f"<{namespace}#{g}> {{")
+        parts.extend(sorted(lines))
+        parts.append("}")
+    for g in sorted(by_graph):  # any non-standard graph labels
+        parts.append(f"<{namespace}#{g}> {{")
+        parts.extend(sorted(by_graph[g]))
+        parts.append("}")
+    return "\n".join(parts) + "\n"
+
+
+def _decode_block(t: pa.Table, index) -> tuple[list, list, list, list, list]:
+    uri_arr = pa.array(index.uris, pa.string())
+    lit_arr = pa.array(index.literal_strings, pa.string())
+    zero = pa.scalar(0, pa.int32())
+    o_lit_idx = pc.if_else(t["o_is_lit"], t["o"], zero)
+    o_uri_idx = pc.if_else(t["o_is_lit"], zero, t["o"])
+    obj = pc.if_else(
+        t["o_is_lit"], pc.take(lit_arr, o_lit_idx), pc.take(uri_arr, o_uri_idx)
+    )
+    graph_arr = pa.array(GRAPHS, pa.string())
+    return (
+        pc.take(uri_arr, t["s"]).to_pylist(),
+        pc.take(uri_arr, t["p"]).to_pylist(),
+        obj.to_pylist(),
+        t["o_is_lit"].to_pylist(),
+        pc.take(graph_arr, pc.cast(t["g"], pa.int32())).to_pylist(),
+    )
+
+
+def to_trig_string(canonical_encoded: pa.Table, kb, namespace: str = "http://example.org/extract") -> str:
+    """One deterministic TriG document from an encoded canonical table
+    (small results / tests)."""
+    index = resolve_kb(kb)
+    return _format_lines(*_decode_block(canonical_encoded, index), namespace)
+
+
+def write_trig(
+    canonical_ds,
+    kb,
+    out_dir: str,
+    namespace: str = "http://example.org/extract",
+):
+    """Distributed TriG export: each block renders its own fragment and
+    writes ``part-<i>.trig`` under ``out_dir``.  Returns the part count.
+    The KB rides along as a broadcast ref (one ``ray.put``)."""
+    import os
+
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    index = resolve_kb(kb)
+    payload = ray.put((list(index.uris), list(index.literal_strings)))
+
+    class _Shim:
+        def __init__(self, uris, lits):
+            self.uris = uris
+            self.literal_strings = lits
+
+    def render(batch: pa.Table, ctx=None) -> pa.Table:
+        uris, lits = ray.get(payload)
+        text = _format_lines(*_decode_block(batch, _Shim(uris, lits)), namespace)
+        return pa.table({"trig": pa.array([text], pa.string())})
+
+    parts = canonical_ds.map_batches(render, batch_format="pyarrow").take_all()
+    for i, row in enumerate(parts):
+        with open(os.path.join(out_dir, f"part-{i:05d}.trig"), "w") as f:
+            f.write(row["trig"])
+    return len(parts)
+
+
+def parse_trig(text: str) -> pa.Table:
+    """Parse TriG (Turtle + named-graph blocks) into
+    (s, p, o, o_is_literal, graph).  The graph label is the fragment part
+    of the graph URI (mirrors GRAPHS labels)."""
+    import re
+
+    from ..kb.parser import parse_turtle
+
+    # scan for top-level "<uri> { ... }" blocks, then reuse the Turtle
+    # statement parser per block
+    out_tables = []
+
+    pos = 0
+    pat = re.compile(r"<([^>]*)>\s*\{")
+    while True:
+        m = pat.search(text, pos)
+        if not m:
+            break
+        depth = 1
+        j = m.end()
+        while j < len(text) and depth:
+            if text[j] == "{":
+                depth += 1
+            elif text[j] == "}":
+                depth -= 1
+            j += 1
+        block = text[m.end() : j - 1]
+        graph_uri = m.group(1)
+        label = graph_uri.rsplit("#", 1)[-1]
+        t = parse_turtle(block)
+        out_tables.append(
+            t.append_column("graph", pa.array([label] * len(t), pa.string()))
+        )
+        pos = j
+    if not out_tables:
+        empty = pa.table(
+            {
+                "s": pa.array([], pa.string()),
+                "p": pa.array([], pa.string()),
+                "o": pa.array([], pa.string()),
+                "o_is_literal": pa.array([], pa.bool_()),
+                "graph": pa.array([], pa.string()),
+            }
+        )
+        return empty
+    return pa.concat_tables(out_tables)
