@@ -87,3 +87,147 @@ def read_gold_labels(path: str, extract=None):
     import ray.data
 
     return ray.data.from_arrow(gold_table(path, extract))
+
+
+# ---------------------------------------------------------------------------
+# per-corpus gold extractors (reference subclass hooks)
+
+
+_WIKINEWS_GOLD_RE = re.compile(r'"(https?://dbpedia\.org/\w+/\w+)"', re.IGNORECASE)
+
+
+def wikinews_extract_labels(text: str) -> list[str]:
+    """WikinewsCorpus.extractLabels (WikinewsCorpus.java:37-66): every
+    quoted dbpedia URI, case-insensitive, with /page/ rewritten to
+    /resource/ and quotes stripped."""
+    return [
+        m.replace("/page/", "/resource/") for m in _WIKINEWS_GOLD_RE.findall(text)
+    ]
+
+
+_FOAF_NAME = "http://xmlns.com/foaf/0.1/name"
+
+
+def bbcmusic_extract_labels(rdfxml_text: str) -> list[str]:
+    """BBCMusicCorpus.extractLabels (BBCMusicCorpus.java:88-110): parse
+    the RDF/XML label document, gold = subjects of foaf:name statements."""
+    from ..kb.parser import parse_rdfxml
+
+    t = parse_rdfxml(rdfxml_text)
+    out, seen = [], set()
+    for s, p in zip(t["s"].to_pylist(), t["p"].to_pylist()):
+        if p == _FOAF_NAME and s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CoNLL corpus (-DOCSTART- document splitting, ConllCorpus.java:84-112)
+
+DOCSTART = "-DOCSTART-"
+
+
+def conll_split_docs(text: str) -> list[tuple[str, str]]:
+    """Split a CoNLL file into (doc_id, plain_text) documents: a line
+    starting with -DOCSTART- begins a new document (numbered from 1 like
+    the reference's '#<count>' URIs); within a document the text is the
+    FIRST whitespace-split field of each line, space-joined, with empty
+    lines preserved as newlines (ConllCorpus.createPlainTextCorpus:53-80).
+
+    Deliberate deviation from ConllCorpus.forEach:95-101: the reference
+    numbers each flushed document with the ALREADY-INCREMENTED counter
+    (first doc gets '#2') and silently drops the text after the last
+    -DOCSTART-; here documents are numbered in order of appearance and
+    the trailing document is kept.
+    """
+    docs: list[tuple[str, str]] = []
+    count = 0
+    buf: list[str] = []
+
+    def flush():
+        if buf:
+            docs.append((f"#{count}", "".join(buf).strip()))
+        buf.clear()
+
+    for line in text.splitlines():
+        if line.startswith(DOCSTART):
+            flush()
+            count += 1
+        elif not line.strip():
+            buf.append("\n")
+        else:
+            buf.append(line.split(" ")[0] + " ")
+    flush()
+    return docs
+
+
+def conll_gold_mentions(text: str) -> list[tuple[str, str, str]]:
+    """Gold entity mentions from CoNLL IOB NER tags: (doc_id, phrase,
+    entity_type) per contiguous B-X/I-X run.  Feeds spotting/linking P-R
+    in :mod:`scoobie_ray.evaluate` (the labeled-corpus evaluation path the
+    reference drives through LabeledTextCorpus.getGroundTruth)."""
+    out: list[tuple[str, str, str]] = []
+    count = 0
+    cur_tokens: list[str] = []
+    cur_type = ""
+
+    def flush_entity():
+        nonlocal cur_tokens, cur_type
+        if cur_tokens:
+            out.append((f"#{count}", " ".join(cur_tokens), cur_type))
+        cur_tokens, cur_type = [], ""
+
+    for line in text.splitlines():
+        if line.startswith(DOCSTART):
+            flush_entity()
+            count += 1
+            continue
+        parts = line.split()
+        if len(parts) < 2:
+            flush_entity()
+            continue
+        token, tag = parts[0], parts[-1]
+        if tag.startswith("B-"):
+            flush_entity()
+            cur_tokens = [token]
+            cur_type = tag[2:]
+        elif tag.startswith("I-") and cur_tokens and tag[2:] == cur_type:
+            cur_tokens.append(token)
+        elif tag.startswith("I-"):  # I- without B- opens a new entity
+            flush_entity()
+            cur_tokens = [token]
+            cur_type = tag[2:]
+        else:
+            flush_entity()
+    flush_entity()
+    return out
+
+
+def read_conll_corpus(path: str):
+    """CoNLL file -> (docs Dataset in the interleaved-doc shape, gold
+    mention table (doc_id, phrase, entity_type))."""
+    import ray.data
+
+    with open(path, encoding="utf-8", errors="replace") as f:
+        text = f.read()
+    docs = conll_split_docs(text)
+    rows = [
+        {
+            "doc_id": did,
+            "spans": [{"kind": "text", "text": t, "media_ref": "", "offset": 0}],
+        }
+        for did, t in docs
+    ]
+    gold = conll_gold_mentions(text)
+    gold_tbl = pa.table(
+        {
+            "doc_id": pa.array([g[0] for g in gold], pa.string()),
+            "phrase": pa.array([g[1] for g in gold], pa.string()),
+            "entity_type": pa.array([g[2] for g in gold], pa.string()),
+        }
+    )
+    return (
+        ray.data.from_arrow(pa.Table.from_pylist(rows, schema=DOC_SCHEMA)),
+        gold_tbl,
+    )
