@@ -148,6 +148,27 @@ class _CSR:
         idx = np.repeat(starts, counts) + (np.arange(total) - offsets)
         return self.other[idx]
 
+    def gather_segments(self, nodes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Like :meth:`gather_many` but segment-aligned: returns
+        (concatenated endpoints, per-node lengths) so callers can
+        attribute each endpoint back to its source node (np.repeat of the
+        node index by lengths)."""
+        lens = np.zeros(len(nodes), dtype=np.int64)
+        if not len(nodes) or not len(self.keys):
+            return _EMPTY, lens
+        pos = np.searchsorted(self.keys, nodes)
+        pos_c = np.minimum(pos, len(self.keys) - 1)
+        valid = self.keys[pos_c] == nodes
+        starts = np.where(valid, self.starts[pos_c], 0)
+        stops = np.where(valid, self.stops[pos_c], 0)
+        counts = stops - starts
+        total = int(counts.sum())
+        if not total:
+            return _EMPTY, counts
+        offsets = np.repeat(np.cumsum(counts) - counts, counts)
+        idx = np.repeat(starts, counts) + (np.arange(total) - offsets)
+        return self.other[idx], counts
+
 
 _EMPTY = np.empty(0, dtype=np.int64)
 

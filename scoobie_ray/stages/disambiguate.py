@@ -368,15 +368,18 @@ class Disambiguator:
         return m[subj]
 
     def _distinct_candidates(self, lit: int) -> np.ndarray:
-        """Sorted distinct candidate subjects (prebuilt CSR view; the
-        template-filtered path computes and caches its own subset)."""
-        if self.filter is None:
-            return self.kb.distinct_candidates(lit)
+        """Sorted distinct candidate subjects, cached per actor — spotted
+        literals repeat heavily across documents (every supplier/customer
+        doc names its nation), so the CSR gather runs once per literal per
+        actor, not once per (doc, literal)."""
         hit = self._cand_distinct.get(lit)
         if hit is None:
-            _props, subs = self._candidates(lit)
-            subs = np.asarray(subs, dtype=np.int64)
-            hit = np.unique(subs) if len(subs) else _EMPTY_I64
+            if self.filter is None:
+                hit = self.kb.distinct_candidates(lit)
+            else:
+                _props, subs = self._candidates(lit)
+                subs = np.asarray(subs, dtype=np.int64)
+                hit = np.unique(subs) if len(subs) else _EMPTY_I64
             self._cand_distinct[lit] = hit
         return hit
 
@@ -411,18 +414,34 @@ class Disambiguator:
             pos[pos >= len(node_arr)] = 0
             return pos[(node_arr[pos] == arr)] if len(arr) else pos
 
-        # literal edges (+1 per literal naming the candidate) and anchor
-        # KB edges — gathered into ONE concatenated array so the doc pays
-        # a single searchsorted + add.at instead of one per literal/anchor;
-        # anchor neighborhoods come from a batched CSR gather
+        # literal edges: +1 per literal naming the candidate
         contrib: list[np.ndarray] = list(lit_candidates.values())
         anchors_arr = np.unique(
             np.fromiter(winners.values(), dtype=np.int64, count=len(winners))
         )
-        contrib.append(self.kb.out_nt.gather_many(anchors_arr))
-        contrib.append(self.kb.inc_nt.gather_many(anchors_arr))
-        if contrib:
-            np.add.at(scores, _pos(np.concatenate(contrib)), 1.0)
+        # Anchor KB edges: both sides of each (candidate, anchor) edge
+        # yield the same per-edge count, so pick the side that gathers
+        # fewer adjacency lists.  Dense-ambiguity docs (many candidates,
+        # few anchors) accumulate over the anchors' neighbor lists; docs
+        # whose anchors are hub entities with huge lists but few ambiguous
+        # candidates count from the candidate side instead.
+        if len(node_arr) >= 4 * len(anchors_arr):
+            contrib.append(self.kb.out_nt.gather_many(anchors_arr))
+            contrib.append(self.kb.inc_nt.gather_many(anchors_arr))
+            if contrib:
+                np.add.at(scores, _pos(np.concatenate(contrib)), 1.0)
+        else:
+            if contrib:
+                np.add.at(scores, _pos(np.concatenate(contrib)), 1.0)
+            if len(anchors_arr):
+                for csr in (self.kb.out_nt, self.kb.inc_nt):
+                    vals, lens = csr.gather_segments(node_arr)
+                    if len(vals):
+                        apos = np.searchsorted(anchors_arr, vals)
+                        apos[apos >= len(anchors_arr)] = 0
+                        hits = anchors_arr[apos] == vals
+                        idx = np.repeat(np.arange(len(node_arr)), lens)
+                        np.add.at(scores, idx[hits], 1.0)
 
         # optional second hop: paths candidate —x→ anchor-neighborhood
         # (the reference BFS-expands through intermediate KB nodes,
@@ -511,12 +530,10 @@ class Disambiguator:
         self._memo[distinct_lits] = winners
         return winners
 
-    def _resolve_doc(
-        self, lits: list[int]
+    @staticmethod
+    def _emit_doc(
+        lits: list[int], winners: dict[int, tuple[int, int]]
     ) -> tuple[list[int], list[int], list[int], list[int]]:
-        if not lits:
-            return [], [], [], []
-        winners = self._winners(tuple(sorted(set(lits))))
         rm, rs, rp, rl = [], [], [], []
         for m, lit in enumerate(lits):
             hit = winners.get(lit)
@@ -527,6 +544,14 @@ class Disambiguator:
             rp.append(hit[1])
             rl.append(lit)
         return rm, rs, rp, rl
+
+    def _resolve_doc(
+        self, lits: list[int]
+    ) -> tuple[list[int], list[int], list[int], list[int]]:
+        if not lits:
+            return [], [], [], []
+        winners = self._winners(tuple(sorted(set(lits))))
+        return self._emit_doc(lits, winners)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rms, rss, rps, rls = [], [], [], []
