@@ -297,7 +297,9 @@ def oracle_sql() -> dict[str, str]:
 
     # rows-only (non-SQL-expressible, asserted by
     # tests/test_oracle_sql.py::test_rows_only_set_is_intentional):
-    # dedup_minhash, dedup_simhash, dedup_ngram, dedup_embedding (LSH
-    # clustering), knn_lsh (approximate by design), np_chunks (POS
-    # heuristic), kg_rated (float relevance scores)
+    # knn_lsh (probed buckets depend on the seeded gaussian plane
+    # matrix), np_chunks (POS heuristic),
+    # kg_rated (float relevance scores).  dedup_minhash/dedup_ngram have
+    # LSH-free all-pairs oracles (equality doubles as an LSH-recall gate);
+    # dedup_simhash has an exact bit-level oracle via md5_number_upper.
     return dict(ORACLES)

@@ -576,3 +576,154 @@ WITH t AS (
 )
 SELECT s, p, o, o_is_literal FROM t
 """
+
+# ---- near-dup dedup oracles (LSH-free re-derivation) -----------------------
+# The engine generates candidates with MinHash-LSH banding and verifies
+# TRUE Jaccard inside the bucket groupby; the oracle skips LSH entirely:
+# ALL pairs' exact Jaccard + recursive-CTE connected components + min-id
+# representative.  Equality therefore also GATES LSH RECALL = 1.0 on the
+# fixture corpus (a missed candidate pair would surface as a row diff) —
+# tests/test_ops.py locks the same property at sf0.001.
+
+ORACLES["dedup_minhash"] = r"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+idx AS (SELECT i FROM generate_series(1, 4096) g(i)),
+sh AS (  -- distinct 5-char shingles (engine: ops/dedup.py char_shingles)
+  SELECT DISTINCT n.doc_id, substr(n.t, CAST(idx.i AS INTEGER), 5) AS s
+  FROM norm n JOIN idx ON idx.i <= greatest(1, length(n.t) - 4)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+  SELECT da, db FROM inter
+  JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+),
+edges2 AS (SELECT da AS a, db AS b FROM edges UNION ALL SELECT db, da FROM edges),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM norm
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges2 e ON e.a = r.b
+)
+SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) = a
+"""
+
+ORACLES["dedup_ngram"] = r"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id,
+         str_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+idx AS (SELECT i FROM generate_series(1, 4096) g(i)),
+ng AS (  -- distinct word 3-grams (engine: ops/dedup.py word_ngrams)
+  SELECT DISTINCT n.doc_id,
+         CASE WHEN len(n.w) < 3 THEN array_to_string(n.w, ' ')
+              ELSE n.w[CAST(idx.i AS INTEGER)] || ' ' ||
+                   n.w[CAST(idx.i AS INTEGER) + 1] || ' ' ||
+                   n.w[CAST(idx.i AS INTEGER) + 2]
+         END AS s
+  FROM norm n JOIN idx ON idx.i <= greatest(1, len(n.w) - 2)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+  FROM ng a JOIN ng b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+  SELECT da, db FROM inter
+  JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+),
+edges2 AS (SELECT da AS a, db AS b FROM edges UNION ALL SELECT db, da FROM edges),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM norm
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges2 e ON e.a = r.b
+)
+SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) = a
+"""
+
+# dedup_simhash: EXACT bit-level re-derivation (not LSH-free — the 16-bit
+# banding IS the operator's semantics and is replicated):
+# DuckDB md5_number_upper == int.from_bytes(md5[:8], 'little'), the same
+# word hash as ops/dedup.py _hash_str; per-bit weighted sign -> signature;
+# identical band chunk -> candidate vs bucket-min; Hamming <= 3 verify;
+# connected components.  Caveat: assumes no empty doc texts (str_split('')
+# yields [''] while Python ''.split() yields []).
+ORACLES["dedup_simhash"] = r"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, str_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+),
+words AS (
+  SELECT n.doc_id, u.word, count(*) AS cnt
+  FROM norm n, unnest(n.w) AS u(word)
+  GROUP BY n.doc_id, u.word
+),
+bits AS (SELECT CAST(i AS INTEGER) AS b FROM generate_series(0, 63) g(i)),
+acc AS (
+  SELECT w.doc_id, bits.b,
+         sum(w.cnt * (CASE WHEN (md5_number_upper(w.word) >> bits.b) & 1 = 1
+                           THEN 1 ELSE -1 END)) AS s
+  FROM words w CROSS JOIN bits
+  GROUP BY w.doc_id, bits.b
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS UBIGINT) << b)
+                       ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS h
+  FROM acc GROUP BY doc_id
+),
+bandidx AS (SELECT CAST(i AS INTEGER) AS band FROM generate_series(0, 3) g(i)),
+bands AS (
+  SELECT s.doc_id, s.h, bi.band, (s.h >> (16 * bi.band)) & 65535 AS chunk
+  FROM sig s CROSS JOIN bandidx bi
+),
+hubs AS (SELECT band, chunk, min(doc_id) AS hub FROM bands GROUP BY band, chunk),
+cand AS (
+  SELECT DISTINCT h2.hub AS da, b2.doc_id AS db
+  FROM bands b2 JOIN hubs h2 ON h2.band = b2.band AND h2.chunk = b2.chunk
+  WHERE b2.doc_id <> h2.hub
+),
+edges AS (
+  SELECT c.da, c.db FROM cand c
+  JOIN sig sa ON sa.doc_id = c.da JOIN sig sb ON sb.doc_id = c.db
+  WHERE bit_count(xor(sa.h, sb.h)) <= 3
+),
+edges2 AS (SELECT da AS a, db AS b FROM edges UNION ALL SELECT db, da FROM edges),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM norm
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges2 e ON e.a = r.b
+)
+SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) = a
+"""
+
+# dedup_embedding: LSH-free all-pairs cosine re-derivation.  The fixture
+# embeddings are near-orthogonal (max pairwise cosine ≈ 0.51 at sf0.01),
+# so at threshold 0.98 the oracle gates that the operator drops NOTHING
+# spuriously (ids + schema + hash); true near-dup dropping is gated by
+# tests/test_ops.py::test_embedding_dedup on constructed duplicates and
+# the sf0.001 golden lock.
+ORACLES["dedup_embedding"] = r"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS da, b.vec_id AS db
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.98
+),
+edges2 AS (SELECT da AS a, db AS b FROM pairs UNION ALL SELECT db, da FROM pairs),
+reach(a, b) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges2 e ON e.a = r.b
+)
+SELECT a AS vec_id FROM reach GROUP BY a HAVING min(b) = a
+"""

@@ -43,11 +43,11 @@ def test_rows_only_set_is_intentional():
     import __ray_entry__ as e
 
     rows_only = set(e.queries()) - set(e.oracle_sql())
+    # dedup_minhash / dedup_ngram gained LSH-free all-pairs oracles and
+    # dedup_simhash an exact bit-level oracle in r2; the rest remain
+    # genuinely non-SQL-expressible (hyperplane LSH needs the gaussian
+    # plane matrix, POS heuristics, float relevance)
     assert rows_only == {
-        "dedup_minhash",
-        "dedup_simhash",
-        "dedup_ngram",
-        "dedup_embedding",
         "knn_lsh",
         "np_chunks",
         "kg_rated",
