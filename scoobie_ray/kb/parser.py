@@ -469,6 +469,8 @@ _FORMAT_BY_EXT = {
     ".rdf": "rdfxml",
     ".owl": "rdfxml",
     ".xml": "rdfxml",
+    ".trig": "trig",
+    ".trix": "trix",
 }
 
 
@@ -491,6 +493,14 @@ def parse_rdf_text(text: str, fmt: str) -> pa.Table:
         return parse_turtle(text)
     if fmt == "rdfxml":
         return parse_rdfxml(text)
+    if fmt == "trig":
+        # named-graph blocks parse via the TriG reader; the graph label is
+        # dropped here — the KB ingest consumes bare (s, p, o) statements
+        from ..stages.trig import parse_trig
+
+        return parse_trig(text).drop_columns(["graph"])
+    if fmt == "trix":
+        return parse_trix(text)
     raise ValueError(f"unknown RDF format: {fmt}")
 
 
@@ -538,3 +548,60 @@ def read_ntriples_lines_ds(paths: list[str], clean: bool = True):
         return clean_triples(t) if clean else t
 
     return ds.map_batches(parse_batch, batch_format="pyarrow")
+
+
+def parse_trix(text: str) -> pa.Table:
+    """TriX (W3C XML triple syntax) → (s, p, o, o_is_literal) table.
+
+    Node kinds: <uri>, <id> (bnode), <plainLiteral> (xml:lang accepted,
+    dropped), <typedLiteral datatype=…>.  Graph URIs are ignored —
+    matching the reference, whose RDFHandler consumes only s/p/o
+    (RDFTripleParser.java:190-240); bnode objects are skipped the same
+    way as in the Turtle path."""
+    import xml.etree.ElementTree as ET
+
+    TRIX_NS = "{http://www.w3.org/2004/03/trix/trix-1/}"
+
+    def local(tag: str) -> str:
+        return tag.split("}", 1)[-1]
+
+    def node_value(el) -> tuple[str | None, bool]:
+        kind = local(el.tag)
+        if kind == "uri":
+            return (el.text or "").strip(), False
+        if kind == "id":
+            return "_:" + (el.text or "").strip(), False
+        if kind in ("plainLiteral", "typedLiteral"):
+            return el.text or "", True
+        return None, False
+
+    root = ET.fromstring(text)
+    ss, ps, os_, lit = [], [], [], []
+    for graph in root:
+        if local(graph.tag) != "graph":
+            continue
+        for el in graph:
+            if local(el.tag) != "triple":
+                continue
+            parts = list(el)
+            if len(parts) != 3:
+                continue
+            s, s_lit = node_value(parts[0])
+            p, p_lit = node_value(parts[1])
+            o, o_lit = node_value(parts[2])
+            if s is None or p is None or o is None or s_lit or p_lit:
+                continue
+            if not o_lit and o.startswith("_:"):
+                continue  # bnode object -> "bad triple" (skipped)
+            ss.append(s)
+            ps.append(p)
+            os_.append(o)
+            lit.append(o_lit)
+    return pa.table(
+        {
+            "s": pa.array(ss, pa.string()),
+            "p": pa.array(ps, pa.string()),
+            "o": pa.array(os_, pa.string()),
+            "o_is_literal": pa.array(lit, pa.bool_()),
+        }
+    )

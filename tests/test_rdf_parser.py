@@ -190,3 +190,53 @@ def test_cleaning_filters_on_parsed_turtle():
     assert _rows(cleaned) == {
         ("http://e.org/keep", "http://e.org/p", "kept literal", True)
     }
+
+
+def test_trix_parse():
+    xml = (
+        '<?xml version="1.0"?>\n'
+        '<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">\n'
+        "  <graph>\n"
+        "    <uri>http://e.org/g</uri>\n"
+        "    <triple><uri>http://e.org/s</uri><uri>http://e.org/p</uri>"
+        "<uri>http://e.org/o</uri></triple>\n"
+        "    <triple><uri>http://e.org/s</uri><uri>http://e.org/label</uri>"
+        '<plainLiteral xml:lang="en">Some Label</plainLiteral></triple>\n'
+        "    <triple><uri>http://e.org/s</uri><uri>http://e.org/n</uri>"
+        '<typedLiteral datatype="http://www.w3.org/2001/XMLSchema#int">42</typedLiteral></triple>\n'
+        "    <triple><id>b1</id><uri>http://e.org/p</uri>"
+        "<uri>http://e.org/x</uri></triple>\n"
+        "    <triple><uri>http://e.org/s</uri><uri>http://e.org/p</uri>"
+        "<id>b2</id></triple>\n"
+        "  </graph>\n"
+        "</TriX>"
+    )
+    from scoobie_ray.kb.parser import parse_trix
+
+    rows = _rows(parse_trix(xml))
+    assert ("http://e.org/s", "http://e.org/p", "http://e.org/o", False) in rows
+    assert ("http://e.org/s", "http://e.org/label", "Some Label", True) in rows
+    assert ("http://e.org/s", "http://e.org/n", "42", True) in rows
+    assert ("_:b1", "http://e.org/p", "http://e.org/x", False) in rows
+    # bnode object skipped (reference: 'bad triple')
+    assert not any(r[2] == "_:b2" for r in rows)
+    assert len(rows) == 4
+
+
+def test_trig_file_dispatch(tmp_path):
+    trig = (
+        "<http://e.org/g1> {\n"
+        '<http://e.org/a> <http://e.org/p> "in graph one" .\n'
+        "}\n"
+        "<http://e.org/g2> {\n"
+        "<http://e.org/a> <http://e.org/q> <http://e.org/b> .\n"
+        "}\n"
+    )
+    path = str(tmp_path / "dump.trig")
+    with open(path, "w") as f:
+        f.write(trig)
+    assert detect_format(path) == "trig"
+    t = parse_rdf_file(path)
+    rows = _rows(t)
+    assert ("http://e.org/a", "http://e.org/p", "in graph one", True) in rows
+    assert ("http://e.org/a", "http://e.org/q", "http://e.org/b", False) in rows
