@@ -4,7 +4,13 @@ The reference tokenizes with ICU ``BreakIterator`` word/sentence instances
 (WordSegmenter.java:40-58, SentenceSegmenter.java:41-63).  PyICU is not
 available in this environment, so we use an explicit, documented rule set
 (Unicode word chars + single non-space punctuation tokens; sentence breaks
-after [.!?]+ followed by whitespace/end).  Offsets are char offsets into
+after [.!?]+ followed by whitespace/end).  Non-Latin approximation of the
+ICU behavior: CJK ideographs and kana segment one token per character
+(ICU uses dictionary-based breaking there — per-char is the standard
+stand-in and keeps offsets well-defined), and the CJK full-width
+terminators 。！？ break sentences WITHOUT requiring trailing whitespace.
+Latin-script behavior is byte-identical to the previous rule set (the
+np_chunks golden rides on it).  Offsets are char offsets into
 ``plain_text`` and all downstream annotations key on them, mirroring the
 reference's offset-keyed DataSheet (model/DataSheet.java:42-129).
 
@@ -22,8 +28,13 @@ import pyarrow as pa
 
 from ..sources.docs import add_plain_text
 
-_WORD_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
-_SENT_RE = re.compile(r"[.!?]+(?=\s|$)")
+# CJK ideographs (+ ext A), kana, and CJK compatibility ideographs: one
+# token per character; all other word chars group into runs as before
+_CJK = "㐀-䶿一-鿿぀-ヿ豈-﫿"
+_WORD_RE = re.compile(
+    rf"[{_CJK}]|(?:(?![{_CJK}])\w)+|[^\w\s]", re.UNICODE
+)
+_SENT_RE = re.compile(r"[.!?]+(?=\s|$)|[。！？]+")
 
 
 def tokenize(text: str) -> tuple[list[int], list[int]]:

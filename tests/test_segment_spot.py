@@ -129,3 +129,20 @@ def test_html_normalization_is_offset_stable():
     norm = out["spans"].to_pylist()[0][0]["text"]
     assert len(norm) == len(html)
     assert out["raw_spans"].to_pylist()[0][0]["text"] == html
+
+
+def test_cjk_segmentation_approximation():
+    """ICU stand-in for non-Latin text: CJK ideographs/kana segment per
+    character; 。！？ break sentences without trailing whitespace; Latin
+    behavior unchanged."""
+    from scoobie_ray.stages.segment import sentence_ids, tokenize
+
+    t = "日本語のテスト。Hello world! 中文句子？"
+    s, e = tokenize(t)
+    toks = [t[a:b] for a, b in zip(s, e)]
+    assert toks[:3] == ["日", "本", "語"]  # per-char CJK
+    assert "Hello" in toks and "world" in toks  # Latin runs intact
+    sids = sentence_ids(t, s)
+    # three sentences: 。-terminated, !-terminated, ？-terminated
+    assert sids[0] == 0 and sids[toks.index("Hello")] == 1
+    assert sids[toks.index("中")] == 2
