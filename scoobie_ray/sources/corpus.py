@@ -231,3 +231,42 @@ def read_conll_corpus(path: str):
         ray.data.from_arrow(pa.Table.from_pylist(rows, schema=DOC_SCHEMA)),
         gold_tbl,
     )
+
+
+# remaining reference extractors — all reuse the same parser machinery
+
+RDFS_LABEL_URI = "http://www.w3.org/2000/01/rdf-schema#label"
+DCTERMS_TITLE = "http://purl.org/dc/terms/title"
+
+#: GutenbergCorpus.extractLabels (GutenbergCorpus.java:53-69) is the same
+#: quoted-dbpedia-URI regex as Wikinews
+gutenberg_extract_labels = wikinews_extract_labels
+
+
+def _subjects_of(t, preds: set[str]) -> list[str]:
+    out, seen = [], set()
+    for s, p in zip(t["s"].to_pylist(), t["p"].to_pylist()):
+        if p in preds and s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def wikipedia_extract_labels(turtle_text: str) -> list[str]:
+    """WikipediaCorpus.extractLabels (WikipediaCorpus.java:54-72): parse
+    the Turtle label document; gold = subjects of rdfs:label statements."""
+    from ..kb.parser import parse_turtle
+
+    return _subjects_of(parse_turtle(turtle_text), {RDFS_LABEL_URI})
+
+
+def bbcnature_extract_labels(rdfxml_text: str) -> list[str]:
+    """BBCNatureCorpus.extractLabels (BBCNatureCorpus.java:89-110): parse
+    RDF/XML; gold = subjects of rdfs:label PLUS dcterms:title statements
+    (label subjects listed first, mirroring the reference's two loops)."""
+    from ..kb.parser import parse_rdfxml
+
+    t = parse_rdfxml(rdfxml_text)
+    labels = _subjects_of(t, {RDFS_LABEL_URI})
+    titles = [s for s in _subjects_of(t, {DCTERMS_TITLE}) if s not in set(labels)]
+    return labels + titles

@@ -129,3 +129,49 @@ def test_bbcmusic_foaf_gold():
         "http://www.bbc.co.uk/music/artists/a1",
         "http://www.bbc.co.uk/music/artists/a3",
     ]
+
+
+def test_wikipedia_turtle_gold():
+    ttl = (
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "@prefix dbr: <http://dbpedia.org/resource/> .\n"
+        'dbr:Berlin rdfs:label "Berlin" .\n'
+        "dbr:Berlin a <http://dbpedia.org/ontology/City> .\n"
+        'dbr:Hamburg rdfs:label "Hamburg" .\n'
+    )
+    from scoobie_ray.sources.corpus import wikipedia_extract_labels
+
+    assert wikipedia_extract_labels(ttl) == [
+        "http://dbpedia.org/resource/Berlin",
+        "http://dbpedia.org/resource/Hamburg",
+    ]
+
+
+def test_bbcnature_rdfxml_gold():
+    xml = (
+        '<?xml version="1.0"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n'
+        '         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"\n'
+        '         xmlns:dct="http://purl.org/dc/terms/">\n'
+        '  <rdf:Description rdf:about="http://www.bbc.co.uk/nature/life/Lion">\n'
+        "    <rdfs:label>Lion</rdfs:label>\n"
+        "  </rdf:Description>\n"
+        '  <rdf:Description rdf:about="http://www.bbc.co.uk/nature/life/Tiger">\n'
+        "    <dct:title>Tiger</dct:title>\n"
+        "  </rdf:Description>\n"
+        "</rdf:RDF>"
+    )
+    from scoobie_ray.sources.corpus import bbcnature_extract_labels
+
+    assert bbcnature_extract_labels(xml) == [
+        "http://www.bbc.co.uk/nature/life/Lion",
+        "http://www.bbc.co.uk/nature/life/Tiger",
+    ]
+
+
+def test_gutenberg_is_wikinews_regex():
+    from scoobie_ray.sources.corpus import gutenberg_extract_labels
+
+    assert gutenberg_extract_labels('"http://dbpedia.org/page/X"') == [
+        "http://dbpedia.org/resource/X"
+    ]
