@@ -138,12 +138,33 @@ def parse_trig(text: str) -> pa.Table:
         m = pat.search(text, pos)
         if not m:
             break
+        # brace scan must ignore braces inside quoted literals ('{'/'}'
+        # are legal literal characters — caught by the round-trip
+        # property test) and inside comments
         depth = 1
         j = m.end()
-        while j < len(text) and depth:
-            if text[j] == "{":
+        n = len(text)
+        while j < n and depth:
+            c = text[j]
+            if c == '"':
+                if text[j : j + 3] == '"""':  # long string
+                    j += 3
+                    while j < n and text[j : j + 3] != '"""':
+                        j += 2 if text[j] == "\\" else 1
+                    j += 3
+                else:
+                    j += 1
+                    while j < n and text[j] != '"':
+                        j += 2 if text[j] == "\\" else 1
+                    j += 1
+                continue
+            if c == "#":
+                while j < n and text[j] != "\n":
+                    j += 1
+                continue
+            if c == "{":
                 depth += 1
-            elif text[j] == "}":
+            elif c == "}":
                 depth -= 1
             j += 1
         block = text[m.end() : j - 1]
