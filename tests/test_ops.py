@@ -372,3 +372,27 @@ def test_knn_lsh_inmemory_matches_indexed(ray_session, tmp_path):
     assert sorted([(r["query_id"], r["vec_id"], r["rank"]) for r in mem]) == sorted(
         [(r["query_id"], r["vec_id"], r["rank"]) for r in idx]
     )
+
+
+def test_run_dedup_job_cli(ray_session, tmp_path):
+    """The dedup job entry point end-to-end over the sf0.001 documents."""
+    from jobs.run_dedup import main
+
+    out = str(tmp_path / "deduped")
+    rc = main(
+        [
+            "--docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", out,
+            "--method", "minhash",
+        ]
+    )
+    assert rc == 0
+    import pyarrow.parquet as pq
+    import os
+
+    n = sum(
+        pq.read_metadata(os.path.join(out, f)).num_rows
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+    assert n == 476  # matches the locked sf0.001 golden
