@@ -143,3 +143,61 @@ def test_parse_ntriples_typed_and_lang_literals():
     assert t.num_rows == 2
     assert t["o"].to_pylist() == ["42", "hello"]
     assert t["o_is_literal"].to_pylist() == [True, True]
+
+
+def test_build_kb_job_cli_from_mixed_dumps(ray_session, tmp_path):
+    """RDF dumps (Turtle + gzipped N-Triples) -> distributed parse ->
+    KB bundle on disk -> usable for spotting."""
+    import gzip
+
+    from jobs.build_kb import main
+
+    ttl = (
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+        "@prefix ex: <http://e.org/> .\n"
+        'ex:alpha rdfs:label "Alpha Station" ;\n'
+        "    a <http://e.org/ont/Place> .\n"
+    )
+    nt = (
+        '<http://e.org/beta> <http://www.w3.org/2000/01/rdf-schema#label> "Beta Camp" .\n'
+        "<http://e.org/beta> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://e.org/ont/Place> .\n"
+        "<http://e.org/alpha> <http://e.org/ont/linkedTo> <http://e.org/beta> .\n"
+    )
+    p1 = str(tmp_path / "a.ttl")
+    p2 = str(tmp_path / "b.nt.gz")
+    with open(p1, "w") as f:
+        f.write(ttl)
+    with open(p2, "wb") as f:
+        f.write(gzip.compress(nt.encode()))
+
+    out = str(tmp_path / "kb")
+    rc = main(["--dumps", p1, p2, "--out", out])
+    assert rc == 0
+
+    from scoobie_ray.kb.bundle import KBBundle, KBIndex
+    from scoobie_ray.stages.spot import Spotter
+
+    kb = KBIndex(KBBundle.read(out))
+    import pyarrow as pa
+
+    from scoobie_ray.sources.docs import DOC_SCHEMA
+
+    docs = pa.Table.from_pylist(
+        [
+            {
+                "doc_id": "d0",
+                "spans": [
+                    {
+                        "kind": "text",
+                        "text": "We met at Alpha Station near Beta Camp.",
+                        "media_ref": "",
+                        "offset": 0,
+                    }
+                ],
+            }
+        ],
+        schema=DOC_SCHEMA,
+    )
+    spotted = Spotter(kb)(docs)
+    lits = {kb.literal(x) for x in spotted["mention_literal"].to_pylist()[0]}
+    assert lits == {"Alpha Station", "Beta Camp"}
