@@ -1,0 +1,96 @@
+"""Property oracles for the dedup kernels: MinHash estimation accuracy,
+shingle determinism, SimHash locality, and union-find cluster resolution
+checked against an independent brute-force connected-components oracle."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from scoobie_ray.ops.dedup import (
+    _drop_from_pairs,
+    char_shingles,
+    jaccard,
+    jaccard_u64,
+    minhash_signature,
+    simhash_many,
+)
+
+_word_st = st.text(alphabet="abcdefgh ", min_size=0, max_size=60)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_word_st)
+def test_char_shingles_deterministic_and_distinct(text):
+    a = char_shingles(text, 5)
+    b = char_shingles(text, 5)
+    assert np.array_equal(a, b)
+    assert len(np.unique(a)) == len(a)
+    # jaccard with self is 1 (or both empty)
+    assert jaccard_u64(a, a) == 1.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(alphabet="abcdefgh mnopq", min_size=40, max_size=120),
+    st.text(alphabet="abcdefgh mnopq", min_size=40, max_size=120),
+)
+def test_minhash_estimates_true_jaccard(t1, t2):
+    s1, s2 = char_shingles(t1, 5), char_shingles(t2, 5)
+    if len(s1) == 0 or len(s2) == 0:
+        return
+    m1 = minhash_signature(s1, 256)
+    m2 = minhash_signature(s2, 256)
+    est = float((m1 == m2).mean())
+    true = jaccard_u64(s1, s2)
+    assert abs(est - true) < 0.2  # 256 permutations: s.e. ~ sqrt(j(1-j)/256)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet="abcde ", min_size=1, max_size=40), min_size=1, max_size=8))
+def test_simhash_batch_deterministic_and_selfconsistent(texts):
+    a = simhash_many(texts)
+    b = simhash_many(texts)
+    assert np.array_equal(a, b)
+    # identical texts in the same batch get identical signatures
+    dup = simhash_many([texts[0], texts[0]])
+    assert dup[0] == dup[1]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_union_find_drop_set_matches_components_oracle(ray_session, pairs):
+    """Survivors of _drop_from_pairs = min id of each connected component
+    over the pair graph (checked against an independent BFS oracle)."""
+    ids = list(range(31))
+
+    # independent oracle: BFS connected components
+    adj = {i: set() for i in ids}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    seen, keep = set(), set()
+    for i in ids:
+        if i in seen:
+            continue
+        comp, stack = [], [i]
+        while stack:
+            v = stack.pop()
+            if v in seen:
+                continue
+            seen.add(v)
+            comp.append(v)
+            stack.extend(adj[v] - seen)
+        keep.add(min(comp))
+
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    survivors = sorted(r["doc_id"] for r in _drop_from_pairs(ds, pairs, "doc_id").take_all())
+    assert survivors == sorted(keep)
