@@ -396,3 +396,24 @@ def test_run_dedup_job_cli(ray_session, tmp_path):
         if f.endswith(".parquet")
     )
     assert n == 476  # matches the locked sf0.001 golden
+
+
+def test_build_ann_index_job_cli(ray_session, tmp_path):
+    """The ANN-index job entry point: build the hive layout + self-probe."""
+    import json
+    import os
+
+    from jobs.build_ann_index import main
+
+    out = str(tmp_path / "idx")
+    rc = main(
+        [
+            "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+            "--out", out,
+            "--probe-self", "3",
+        ]
+    )
+    assert rc == 0
+    assert any(d.startswith("bucket=") for d in os.listdir(out))
+    meta = json.load(open(os.path.join(out, "index.json")))
+    assert meta["n_bits"] == 8 and meta["dir"] == out
