@@ -259,3 +259,35 @@ def test_kb_bundle_roundtrip(tmp_path):
     # the reloaded bundle drives the pipeline identically
     out = ExtractActor(KBIndex(back))(smoke_docs())
     assert out.num_rows == 6
+
+
+def test_workflow_facade_injects_round2_components():
+    """The slot-override surface (Pipeline.java's user-extension contract)
+    accepts the round-2 components: a TrainedPOSTagger in slot 3 and a
+    BFS-expansion Disambiguator in slot 10."""
+    from scoobie_ray.stages.disambiguate import Disambiguator
+    from scoobie_ray.stages.tag_train import TrainedPOSTagger, train_tagger
+
+    kb = KBIndex(kg_kb("/root/testdata/sf0.001"))
+    model = train_tagger(
+        [
+            [("the", "DT"), ("supplier", "NN"), ("operates", "VBZ"), (".", ".")],
+            [("a", "DT"), ("nation", "NN"), ("grows", "VBZ"), (".", ".")],
+        ]
+        * 10,
+        iterations=3,
+    )
+    pipe = Pipeline(
+        kb=kb,
+        enable_tagging=True,
+        overrides={
+            "posTagger": TrainedPOSTagger(model),
+            "subjectDisambiguator": Disambiguator(kb, expansion="bfs"),
+        },
+    )
+    batch = pipe.run_local(
+        _doc("Supplier#000000002 operates in NATION_18.", doc_id="w2")
+    )
+    assert "tok_pos" in batch.column_names  # trained tagger ran
+    resolved = {kb.uri(s) for s in batch["resolved_subj"].to_pylist()[0]}
+    assert "http://example.org/nation/18" in resolved  # BFS resolver ran
