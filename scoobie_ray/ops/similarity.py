@@ -222,3 +222,123 @@ def knn_lsh(ds, query_ids, query_vecs, dim: int, k: int = 5, n_bits: int = 8) ->
         filter_buckets, batch_format="pyarrow"
     )
     return knn_bruteforce(filtered, query_ids, query_vecs, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index — k-means coarse quantizer variant
+
+
+def _kmeans(vecs: np.ndarray, k: int, iters: int = 12, seed: int = 42) -> np.ndarray:
+    """Seeded lightweight k-means on (normalized) sample vectors —
+    deterministic; runs driver-side on a bounded sample."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(vecs))
+    centroids = vecs[rng.choice(len(vecs), size=k, replace=False)].copy()
+    for _ in range(iters):
+        sims = vecs @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(k):
+            members = vecs[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    centroids[c] = m / n
+    return centroids
+
+
+def build_ivf_index(
+    ds,
+    out_dir: str,
+    dim: int,
+    n_lists: int = 16,
+    sample_size: int = 10_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+):
+    """IVF layout: k-means centroids trained on a bounded sample
+    (driver-side — centroids are the broadcast small side), corpus
+    assigned to its nearest list DISTRIBUTED, written hive-partitioned by
+    ``list=<c>``.  Queries probe the ``n_probe`` nearest lists only."""
+    import pandas as pd
+
+    sample = ds.limit(sample_size).take_all()
+    svecs = _normalize(
+        np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    )
+    centroids = _kmeans(svecs.astype(np.float32), n_lists, seed=seed)
+
+    try:
+        import ray
+
+        cent_ref = ray.put(centroids)
+    except Exception:
+        cent_ref = None
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = centroids
+        if cent_ref is not None:
+            import ray
+
+            cents = ray.get(cent_ref)
+        vecs = np.stack(batch[vec_col].to_numpy()).astype(np.float32)
+        normed = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        lists = (normed @ cents.T).argmax(axis=1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "list": lists,
+                id_col: batch[id_col].to_numpy(),
+                vec_col: list(np.stack(batch[vec_col].to_numpy())),
+            }
+        )
+
+    (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(assign, batch_format="pandas")
+        .write_parquet(out_dir, partition_cols=["list"])
+    )
+    np.save(os.path.join(out_dir, "centroids.npy"), centroids)
+    return {"dir": out_dir, "dim": dim, "n_lists": int(len(centroids)), "seed": seed}
+
+
+def ivf_probe_paths(index_dir: str, lists: list[int]) -> list[str]:
+    sel = set(int(x) for x in lists)
+    out = []
+    for name in sorted(os.listdir(index_dir)):
+        if not name.startswith("list="):
+            continue
+        if int(name.split("=", 1)[1]) in sel:
+            part = os.path.join(index_dir, name)
+            out.extend(
+                os.path.join(part, f)
+                for f in sorted(os.listdir(part))
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def knn_ivf_indexed(
+    index: dict,
+    query_ids,
+    query_vecs,
+    k: int = 5,
+    n_probe: int = 3,
+) -> pa.Table:
+    """ANN over a :func:`build_ivf_index` layout: each query probes its
+    ``n_probe`` nearest centroid lists; only those partition directories
+    are read, then exact cosine within the union."""
+    import ray.data
+
+    centroids = np.load(os.path.join(index["dir"], "centroids.npy"))
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64)).astype(np.float32)
+    sims = q @ centroids.T  # nq x n_lists
+    n_probe = min(n_probe, sims.shape[1])
+    probe: set[int] = set()
+    for row in sims:
+        probe.update(np.argsort(-row)[:n_probe].tolist())
+    paths = ivf_probe_paths(index["dir"], sorted(probe))
+    if not paths:
+        return _merge_topk([], k)
+    sub = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+    return knn_bruteforce(sub, query_ids, query_vecs, k)

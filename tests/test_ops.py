@@ -417,3 +417,45 @@ def test_build_ann_index_job_cli(ray_session, tmp_path):
     assert any(d.startswith("bucket=") for d in os.listdir(out))
     meta = json.load(open(os.path.join(out, "index.json")))
     assert meta["n_bits"] == 8 and meta["dir"] == out
+
+
+def test_ivf_index_prunes_and_recalls(ray_session, tmp_path):
+    """IVF variant: k-means lists trained on a sample, corpus assigned
+    distributed, queries read only probed list partitions; recall vs
+    exact brute force gated."""
+    import os
+
+    import ray.data
+
+    from scoobie_ray.ops.similarity import (
+        build_ivf_index,
+        ivf_probe_paths,
+        knn_bruteforce,
+        knn_ivf_indexed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    first = emb.take(3)
+    dim = len(first[0]["embedding"])
+    qids = [r["vec_id"] for r in first]
+    qvecs = [r["embedding"] for r in first]
+
+    index = build_ivf_index(emb, str(tmp_path / "ivf"), dim=dim, n_lists=8)
+    parts = [d for d in os.listdir(index["dir"]) if d.startswith("list=")]
+    assert len(parts) >= 4  # lists actually split the corpus
+    probed = ivf_probe_paths(index["dir"], [0])
+    all_files = ivf_probe_paths(index["dir"], list(range(index["n_lists"])))
+    assert 0 < len(probed) < len(all_files)  # pruning is real
+
+    ann = knn_ivf_indexed(index, qids, qvecs, k=5, n_probe=3).to_pydict()
+    exact = knn_bruteforce(emb, qids, qvecs, k=5).to_pydict()
+    es, an = {}, {}
+    for q, v in zip(exact["query_id"], exact["vec_id"]):
+        es.setdefault(q, set()).add(v)
+    for q, v in zip(ann["query_id"], ann["vec_id"]):
+        an.setdefault(q, set()).add(v)
+    for q in qids:
+        assert q in an[q]  # self-hit
+    recall = sum(len(an[q] & es[q]) for q in qids) / sum(len(es[q]) for q in qids)
+    assert recall >= 0.6
