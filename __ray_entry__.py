@@ -131,6 +131,26 @@ def _q_knn_lsh(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+def _q_knn_ivf(sf_dir: str):
+    """ANN via the persisted IVF (k-means inverted-file) index: train
+    lists on a sample, assign distributed, probe nearest lists only."""
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from scoobie_ray.ops.similarity import build_ivf_index, knn_ivf_indexed
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt["vec_id"], 3))
+    dim = len(qt["embedding"][0].as_py())
+    index = build_ivf_index(emb, tempfile.mkdtemp(prefix="scoobie-ivf-"), dim=dim, n_lists=8)
+    out = knn_ivf_indexed(index, qt["vec_id"].to_pylist(), qt["embedding"].to_pylist(), k=5, n_probe=3)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
 def _q_kg_media(sf_dir: str):
     """Media spans exploded from the interleaved docs (the multimodal
     plumbing surface)."""
@@ -273,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "knn_bruteforce": _q_knn,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "dedup_embedding": _q_dedup_embedding,
         "np_chunks": _q_np_chunks,
         "kg_rated": _q_kg_rated,
@@ -297,8 +318,8 @@ def oracle_sql() -> dict[str, str]:
 
     # rows-only (non-SQL-expressible, asserted by
     # tests/test_oracle_sql.py::test_rows_only_set_is_intentional):
-    # knn_lsh (probed buckets depend on the seeded gaussian plane
-    # matrix), np_chunks (POS heuristic),
+    # knn_lsh / knn_ivf (probed partitions depend on seeded gaussian
+    # planes / sampled k-means centroids), np_chunks (POS heuristic),
     # kg_rated (float relevance scores).  dedup_minhash/dedup_ngram have
     # LSH-free all-pairs oracles (equality doubles as an LSH-recall gate);
     # dedup_simhash has an exact bit-level oracle via md5_number_upper.

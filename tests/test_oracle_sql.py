@@ -49,6 +49,7 @@ def test_rows_only_set_is_intentional():
     # plane matrix, POS heuristics, float relevance)
     assert rows_only == {
         "knn_lsh",
+        "knn_ivf",
         "np_chunks",
         "kg_rated",
     }
