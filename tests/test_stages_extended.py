@@ -291,3 +291,25 @@ def test_workflow_facade_injects_round2_components():
     assert "tok_pos" in batch.column_names  # trained tagger ran
     resolved = {kb.uri(s) for s in batch["resolved_subj"].to_pylist()[0]}
     assert "http://example.org/nation/18" in resolved  # BFS resolver ran
+
+
+def test_ngram_langid_classifier():
+    """The n-gram rank-order classifier (reference slot-0 design,
+    LanguageIdentification.java wraps Nutch's n-gram identifier)
+    discriminates all four languages on held-out sentences and plugs
+    into map_batches like the stopword default."""
+    from scoobie_ray.stages.langid import NgramLangId
+
+    c = NgramLangId()
+    held_out = {
+        "en": "we believe that the results of the experiment were not what anyone expected",
+        "de": "wir glauben dass die ergebnisse des experiments nicht das waren was irgendjemand erwartet hatte",
+        "es": "creemos que los resultados del experimento no fueron lo que nadie esperaba ver",
+        "fr": "nous croyons que les résultats de l'expérience n'étaient pas ce que quiconque attendait",
+    }
+    for lang, text in held_out.items():
+        assert c.identify(text) == lang
+    batch = pa.table({"text": list(held_out.values())})
+    out = c(batch)
+    assert out["lang_pred"].to_pylist() == list(held_out.keys())
+    assert c.identify("") == "en"  # default like the reference
