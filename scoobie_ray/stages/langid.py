@@ -89,9 +89,9 @@ class NgramLangId:
         }
 
     def identify(self, text: str) -> str:
-        doc = _profile(text or "", self.top)
-        if not doc:
-            return "en"
+        if not (text or "").strip():
+            return "en"  # default language, like the reference
+        doc = _profile(text, self.top)
         best, best_d = "en", float("inf")
         for lang, prof in sorted(self.profiles.items()):
             d = sum(
