@@ -14,6 +14,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..util import autoscale_concurrency
+
 from ..kb.bundle import KBBundle
 from ..sources.docs import flatten_spans_table
 from ..sources.fixtures import kg_docs_table, kg_kb
@@ -44,7 +46,7 @@ def kg_spot(sf_dir: str):
         Spotter,
         fn_constructor_kwargs={"kb": kb_ref},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=autoscale_concurrency(cap=8),
     )
 
     def explode(t: pa.Table) -> pa.Table:
@@ -107,7 +109,7 @@ def kg_spot_ci(sf_dir: str):
         Spotter,
         fn_constructor_kwargs={"kb": kb_ref, "config": SpotConfig(case_sensitive=False)},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=autoscale_concurrency(cap=8),
     )
 
     def explode(t: pa.Table) -> pa.Table:
@@ -141,10 +143,10 @@ def kg_candidates(sf_dir: str):
 
     ds = _docs_ds(sf_dir).map_batches(
         Spotter, fn_constructor_kwargs={"kb": kb_ref}, batch_format="pyarrow",
-        concurrency=2,
+        concurrency=autoscale_concurrency(cap=8),
     ).map_batches(
         Linker, fn_constructor_kwargs={"kb": kb_ref}, batch_format="pyarrow",
-        concurrency=2,
+        concurrency=autoscale_concurrency(cap=8),
     )
 
     def explode(t: pa.Table) -> pa.Table:
@@ -164,7 +166,7 @@ def kg_candidates(sf_dir: str):
 
 def _annotated(sf_dir: str):
     kb, kb_ref = _kb_and_ref(sf_dir)
-    return annotate_docs(_docs_ds(sf_dir), kb_ref, concurrency=2), kb
+    return annotate_docs(_docs_ds(sf_dir), kb_ref, concurrency=autoscale_concurrency(cap=8)), kb
 
 
 def kg_resolved(sf_dir: str):
@@ -224,10 +226,12 @@ def kg_predicted(sf_dir: str):
     return _explode_triple_lists(ds, uris, "pred_s", "pred_p", "pred_o")
 
 
-def kg_triples(sf_dir: str, concurrency=2):
+def kg_triples(sf_dir: str, concurrency=None):
     from ..stages.serialize import decode_triples
 
     kb, kb_ref = _kb_and_ref(sf_dir)
+    if concurrency is None:
+        concurrency = autoscale_concurrency(cap=8)
     triples = extract_triples(
         _docs_ds(sf_dir), kb_ref, concurrency=concurrency, encoded=True
     )
