@@ -27,7 +27,7 @@ def media_refs(docs_ds):
     )
 
 
-def media_features(docs_ds, fetch_payload=None, batch_size: int = 32, concurrency=2):
+def media_features(docs_ds, fetch_payload=None, batch_size: int = 32, concurrency=None):
     """Media spans -> deterministic (fake) feature vectors.
 
     ``fetch_payload(media_ref) -> bytes`` resolves the opaque reference; the
@@ -36,7 +36,10 @@ def media_features(docs_ds, fetch_payload=None, batch_size: int = 32, concurrenc
     (SURVEY.md §7.4).
     """
     from ..ops.multimodal import DecodeImage, ExtractAudioFeatures
+    from ..util import autoscale_concurrency
 
+    if concurrency is None:
+        concurrency = autoscale_concurrency(cap=8)
     fetch = fetch_payload or (lambda ref: ref.encode("utf-8"))
 
     class Featurize:
