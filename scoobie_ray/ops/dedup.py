@@ -156,20 +156,24 @@ def jaccard_u64(a: np.ndarray, b: np.ndarray) -> float:
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", ids_only: bool = False):
     """Exact dedup: hash-partition on normalized-text hash, keep the min id
     per group (deterministic 'first').  Two-phase: the md5 key is computed
-    vectorized per batch; the groupby shuffles only (key, row) once.
+    vectorized per batch; the shuffle moves each row exactly once.
 
     ``ids_only=True`` returns just the surviving ``id_col`` via a ``Min``
-    aggregate — no per-group Python at all (the scale path when only the
-    winner set is needed)."""
+    aggregate — no per-group Python at all.  The full-row path is equally
+    scale-safe: rows are hash-PARTITIONED by the key (P partitions, not one
+    group per distinct text), and each partition resolves its winners with
+    one vectorized ``sort_values`` + ``drop_duplicates`` — no per-group
+    Python UDF, no driver-side winner broadcast."""
     import pandas as pd
+
+    n_parts = _shuffle_parallelism()
 
     def add_key(batch: pd.DataFrame) -> pd.DataFrame:
         import hashlib
 
-        batch["_dedup_key"] = [
-            hashlib.md5(normalize_text(t).encode()).hexdigest()
-            for t in batch[text_col]
-        ]
+        digests = [hashlib.md5(normalize_text(t).encode()).digest() for t in batch[text_col]]
+        batch["_dedup_key"] = [d.hex() for d in digests]
+        batch["_part"] = [int.from_bytes(d[:4], "little") % n_parts for d in digests]
         return batch
 
     keyed = ds.map_batches(add_key, batch_format="pandas")
@@ -180,13 +184,17 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", ids_only: bo
             batch_format="pyarrow",
         )
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(id_col).head(1)
+    def keep_first_per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        # all rows sharing a key land in the same partition; stable sort +
+        # drop_duplicates keeps the min-id row per key, fully vectorized
+        return part.sort_values(["_dedup_key", id_col], kind="mergesort").drop_duplicates(
+            "_dedup_key", keep="first"
+        )
 
     return (
-        keyed.groupby("_dedup_key")
-        .map_groups(keep_first, batch_format="pandas")
-        .drop_columns(["_dedup_key"])
+        keyed.groupby("_part")
+        .map_groups(keep_first_per_partition, batch_format="pandas")
+        .drop_columns(["_dedup_key", "_part"])
     )
 
 
@@ -520,6 +528,15 @@ def _minhash_bands_fn(num_perm: int, bands: int, shingle_k: int, id_col: str, te
         ids = batch[id_col].to_pylist()
         texts = batch[text_col].to_pylist()
         n = len(ids)
+        if n == 0:
+            # explicit types: np.repeat over an empty object array would make
+            # pa.array infer a null id column and break downstream unification
+            return pa.table(
+                {
+                    "band_key": pa.array([], pa.uint64()),
+                    id_col: pa.array([], batch.schema.field(id_col).type),
+                }
+            )
         keys = np.empty((n, bands), dtype=np.uint64)
         for i, t in enumerate(texts):
             sig = minhash_signature(char_shingles(t, shingle_k), num_perm)
@@ -571,6 +588,14 @@ def _simhash_bands_fn(id_col: str, text_col: str):
         ids = batch[id_col].to_pylist()
         sigs = simhash_many(batch[text_col].to_pylist())
         n = len(ids)
+        if n == 0:
+            return pa.table(
+                {
+                    "band_key": pa.array([], pa.uint64()),
+                    id_col: pa.array([], batch.schema.field(id_col).type),
+                    "sig": pa.array([], pa.uint64()),
+                }
+            )
         shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
         chunks = (sigs[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)
         band_salt = _splitmix64(np.arange(1, 5, dtype=np.uint64))

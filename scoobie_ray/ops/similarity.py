@@ -25,6 +25,26 @@ from .dedup import _HyperplaneLSH
 
 
 def _as_matrix(col) -> np.ndarray:
+    """list<float> column → (n, dim) float64 matrix.
+
+    Arrow inputs take the vectorized path: FixedSizeList views its values
+    buffer directly; variable ListArray with uniform lengths reshapes the
+    flattened values — no per-row Python materialization.  Python lists of
+    sequences (tests / small helpers) fall back to ``np.stack``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array):
+        if pa.types.is_fixed_size_list(col.type):
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(len(col), col.type.list_size).astype(np.float64, copy=False)
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            import pyarrow.compute as pc
+
+            widths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            if len(widths) and (widths == widths[0]).all():
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                return flat.reshape(len(col), int(widths[0])).astype(np.float64, copy=False)
+        col = col.to_pylist()
     return np.stack([np.asarray(v, dtype=np.float64) for v in col])
 
 
@@ -32,7 +52,7 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
-def _topk_fn(queries_payload, k: int):
+def _topk_fn(queries_payload, k: int, id_col: str = "vec_id", vec_col: str = "embedding"):
     """Per-batch cosine scores vs the broadcast query matrix; emits local
     top-k rows (query_id, vec_id, score).  Plain function → task pool
     (auto-scales with input blocks; no actor-count cap)."""
@@ -45,8 +65,8 @@ def _topk_fn(queries_payload, k: int):
             payload = ray.get(payload)  # local object-store hit per worker
         query_ids, qmat = payload
         qmat = _normalize(np.asarray(qmat, dtype=np.float64)).T  # dim x nq
-        vecs = _normalize(_as_matrix(batch["embedding"].to_pylist()))
-        ids = np.asarray(batch["vec_id"].to_pylist())
+        vecs = _normalize(_as_matrix(batch[vec_col]))
+        ids = np.asarray(batch[id_col].to_pylist())
         scores = vecs @ qmat  # n x nq
         kk = min(k, len(ids))
         out_q, out_v, out_s = [], [], []
@@ -91,7 +111,14 @@ def _merge_topk(rows: list[dict], k: int) -> pa.Table:
     )
 
 
-def knn_bruteforce(ds, query_ids, query_vecs, k: int = 5) -> pa.Table:
+def knn_bruteforce(
+    ds,
+    query_ids,
+    query_vecs,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
     """Exact cosine top-k for each query vector over the dataset.
 
     query_vecs: (nq, dim) array-like.  Returns an Arrow table
@@ -103,8 +130,8 @@ def knn_bruteforce(ds, query_ids, query_vecs, k: int = 5) -> pa.Table:
         payload = ray.put((list(query_ids), np.asarray(query_vecs, dtype=np.float64)))
     except Exception:
         payload = (list(query_ids), np.asarray(query_vecs, dtype=np.float64))
-    local = ds.select_columns(["vec_id", "embedding"]).map_batches(
-        _topk_fn(payload, k), batch_format="pyarrow"
+    local = ds.select_columns([id_col, vec_col]).map_batches(
+        _topk_fn(payload, k, id_col, vec_col), batch_format="pyarrow"
     )
     return _merge_topk(local.take_all(), k)
 
@@ -162,7 +189,16 @@ def build_lsh_index(
         .map_batches(bucketize, batch_format="pandas")
         .write_parquet(out_dir, partition_cols=["bucket"])
     )
-    return {"dir": out_dir, "dim": dim, "n_bits": n_bits, "seed": seed}
+    # id_col/vec_col persist with the index so *_indexed query paths read
+    # back the same columns the layout was built with (custom names work)
+    return {
+        "dir": out_dir,
+        "dim": dim,
+        "n_bits": n_bits,
+        "seed": seed,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
 
 
 def probed_partition_paths(index_dir: str, probe: set[int]) -> list[str]:
@@ -200,8 +236,10 @@ def knn_lsh_indexed(
     paths = probed_partition_paths(index["dir"], probe)
     if not paths:
         return _merge_topk([], k)
-    sub = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
-    return knn_bruteforce(sub, query_ids, query_vecs, k)
+    id_col = index.get("id_col", "vec_id")
+    vec_col = index.get("vec_col", "embedding")
+    sub = ray.data.read_parquet(paths, columns=[id_col, vec_col])
+    return knn_bruteforce(sub, query_ids, query_vecs, k, id_col=id_col, vec_col=vec_col)
 
 
 def knn_lsh(ds, query_ids, query_vecs, dim: int, k: int = 5, n_bits: int = 8) -> pa.Table:
@@ -214,7 +252,7 @@ def knn_lsh(ds, query_ids, query_vecs, dim: int, k: int = 5, n_bits: int = 8) ->
     probe_arr = np.fromiter(probe, dtype=np.int64)
 
     def filter_buckets(batch: pa.Table) -> pa.Table:
-        vecs = _normalize(_as_matrix(batch["embedding"].to_pylist())).astype(np.float32)
+        vecs = _normalize(_as_matrix(batch["embedding"])).astype(np.float32)
         buckets = lsh.bucket(vecs).astype(np.int64)
         return batch.filter(pa.array(np.isin(buckets, probe_arr)))
 
@@ -299,7 +337,14 @@ def build_ivf_index(
         .write_parquet(out_dir, partition_cols=["list"])
     )
     np.save(os.path.join(out_dir, "centroids.npy"), centroids)
-    return {"dir": out_dir, "dim": dim, "n_lists": int(len(centroids)), "seed": seed}
+    return {
+        "dir": out_dir,
+        "dim": dim,
+        "n_lists": int(len(centroids)),
+        "seed": seed,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
 
 
 def ivf_probe_paths(index_dir: str, lists: list[int]) -> list[str]:
@@ -340,5 +385,7 @@ def knn_ivf_indexed(
     paths = ivf_probe_paths(index["dir"], sorted(probe))
     if not paths:
         return _merge_topk([], k)
-    sub = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
-    return knn_bruteforce(sub, query_ids, query_vecs, k)
+    id_col = index.get("id_col", "vec_id")
+    vec_col = index.get("vec_col", "embedding")
+    sub = ray.data.read_parquet(paths, columns=[id_col, vec_col])
+    return knn_bruteforce(sub, query_ids, query_vecs, k, id_col=id_col, vec_col=vec_col)

@@ -584,6 +584,18 @@ SELECT s, p, o, o_is_literal FROM t
 # representative.  Equality therefore also GATES LSH RECALL = 1.0 on the
 # fixture corpus (a missed candidate pair would surface as a row diff) —
 # tests/test_ops.py locks the same property at sf0.001.
+#
+# TWO fixture assumptions make engine == oracle, both gated by
+# tests/test_oracle_fixture_invariants.py:
+# 1. STAR-VERIFY: the engine verifies only hub star-pairs (bucket-min vs
+#    each mate) while the oracle unions ALL above-threshold pairs before
+#    components.  A chain-shaped family (A~B, B~C, A!~C, hub A) would pass
+#    the oracle's components but fail the engine's — the fixtures plant
+#    hub-connected clusters only (every member ~ the min-id member).  If a
+#    future fixture change makes this gate fail, that is the reason.
+# 2. ASCII TEXTS: char_shingles windows over UTF-8 BYTES; the SQL oracle
+#    shingles with substr() over CHARACTERS.  Identical only while fixture
+#    document texts are pure ASCII.
 
 ORACLES["dedup_minhash"] = r"""
 WITH RECURSIVE norm AS (
