@@ -161,13 +161,11 @@ def _groupby_finish(
                 ^ (o * np.uint64(0x94D049BB133111EB))
             )
         else:
-            import pandas as pd
+            from ..util import hash_string_array_u64
 
-            # deterministic within one execution — that is all a
-            # partitioning function needs
-            x = pd.util.hash_pandas_object(
-                pd.Series(t["subj"].to_pylist()), index=False
-            ).to_numpy().astype(np.uint64)
+            # Arrow-native vectorized string hash — the buffers are viewed
+            # directly; no to_pylist / per-row Python on the fallback path
+            x = hash_string_array_u64(t["subj"])
         return t.append_column("_part", pa.array((x % P).astype(np.int64)))
 
     if encoded:

@@ -23,6 +23,58 @@ def autoscale_concurrency(lo: int = 1, frac: float = 1.0, cap: int | None = None
     return (lo, hi)
 
 
+def splitmix64_np(x):
+    """Vectorized splitmix64 over a uint64 numpy array (deterministic
+    across processes, unlike Python's salted ``hash``)."""
+    import numpy as np
+
+    mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & mask
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & mask
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & mask
+    return x ^ (x >> np.uint64(31))
+
+
+def hash_string_array_u64(col):
+    """Deterministic 64-bit hash of an Arrow string column, fully
+    vectorized — the column's offsets/data buffers are viewed as numpy
+    arrays and each string is reduced with position-weighted byte mixing
+    (``np.add.reduceat``); no per-row Python materialization.
+
+    Good enough for partitioning (the only use): stable across processes
+    and executions, position-sensitive ('ab' != 'ba'), wrap-around uint64
+    arithmetic throughout."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    lengths = np.diff(offs)
+    start, end = int(offs[0]), int(offs[-1])
+    total = end - start
+    if total == 0:  # all strings empty/null
+        return splitmix64_np(lengths.astype(np.uint64))
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)[start:end].astype(np.uint64)
+    pos = np.arange(total, dtype=np.uint64) - np.repeat(
+        (offs[:-1] - start).astype(np.uint64), lengths
+    )
+    terms = splitmix64_np((data + np.uint64(1)) * splitmix64_np(pos + np.uint64(0x51C3)))
+    # sentinel pad so reduceat never indexes past the end; zero-length
+    # segments (reduceat returns a neighbor element there) are overwritten
+    terms = np.concatenate([terms, np.zeros(1, dtype=np.uint64)])
+    idx = np.minimum(offs[:-1] - start, total)
+    sums = np.add.reduceat(terms, idx)
+    sums = np.where(lengths == 0, np.uint64(0x5EED), sums)
+    return splitmix64_np(sums ^ lengths.astype(np.uint64))
+
+
 def limit_worker_threads(n: int = 1) -> None:
     """Cap Arrow's per-process thread pool to the worker's CPU reservation.
 

@@ -184,6 +184,25 @@ def test_salted_groupby_canonicalize_matches(ray_session):
     assert sorted(map(key, salted)) == sorted(map(key, tree))
 
 
+def test_string_keyed_groupby_canonicalize_matches(ray_session):
+    """The STRING-keyed groupby fallback (partitioned via the Arrow-native
+    vectorized string hash, no per-row Python) merges identically to the
+    tree path."""
+    import ray.data
+
+    from scoobie_ray.sources.fixtures import kg_docs_table, kg_kb
+
+    sf = "/root/testdata/sf0.001"
+    kb = kg_kb(sf)
+    docs = ray.data.from_arrow(kg_docs_table(sf))
+    tri = extract_triples(docs.union(docs), kb, concurrency=1)
+    grouped = canonicalize(tri, strategy="groupby").take_all()
+    tri2 = extract_triples(docs.union(docs), kb, concurrency=1)
+    tree = canonicalize(tri2).take_all()
+    key = lambda r: (r["subj"], r["pred"], r["obj"], r["graph"], r["n_docs"])
+    assert sorted(map(key, grouped)) == sorted(map(key, tree))
+
+
 def test_head_entity_skew_bounded_by_combiner(ray_session):
     """Head-entity skew: every doc mentions the same hot nation, so the
     emitted stream is dominated by a handful of canonical keys.  The
