@@ -244,6 +244,52 @@ def _q_dedup_embedding(sf_dir: str):
     return embedding_dedup(ds, dim=dim, threshold=0.98).select_columns(["vec_id"])
 
 
+def _q_kg_regex(sf_dir: str, mode: str = "all"):
+    """Slot-7 regex recognizer over the regex-rich order-derived corpus
+    (sources/fixtures.regex_docs_table — template mirrored in SQL).
+    mode="all" = reference semantics (every pattern independent);
+    mode="priority" = first-pattern-wins overlap suppression."""
+    import pyarrow as pa
+    import ray.data
+
+    from scoobie_ray.sources.fixtures import regex_docs_table
+    from scoobie_ray.stages.regex_recognize import DEFAULT_PATTERNS, RegexRecognizer
+
+    pats = {k: DEFAULT_PATTERNS[k] for k in ("DATE", "FLOAT", "MAIL", "INTEGER")}
+    rec = RegexRecognizer(pats, mode=mode)
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = rec(t)
+        dids, names, rs, rend = [], [], [], []
+        for d, ss, es, ns in zip(
+            t["doc_id"].to_pylist(),
+            t["regex_start"].to_pylist(),
+            t["regex_end"].to_pylist(),
+            t["regex_name"].to_pylist(),
+        ):
+            for s, e, n in zip(ss, es, ns):
+                dids.append(d)
+                names.append(n)
+                rs.append(s)
+                rend.append(e)
+        return pa.table(
+            {
+                "doc_id": pa.array(dids, pa.string()),
+                "pattern_name": pa.array(names, pa.string()),
+                "r_start": pa.array(rs, pa.int64()),
+                "r_end": pa.array(rend, pa.int64()),
+            }
+        )
+
+    return ray.data.from_arrow(regex_docs_table(sf_dir)).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def _q_kg_regex_priority(sf_dir: str):
+    return _q_kg_regex(sf_dir, mode="priority")
+
+
 def _q_kb_parse_turtle(sf_dir: str):
     """Turtle + gzip ingestion: deterministic dump derived from nation /
     region (sources/rdf_fixtures.py), parsed distributed (one task per
@@ -277,6 +323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": views.kg_triples,
         "kg_spans": views.kg_spans,
         "kg_media": _q_kg_media,
+        "kg_regex": _q_kg_regex,
+        "kg_regex_priority": _q_kg_regex_priority,
         "kb_resources": views.kb_resources,
         "kb_cardinalities": views.kb_cardinalities,
         "kb_markov": views.kb_markov,

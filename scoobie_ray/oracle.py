@@ -353,6 +353,57 @@ SELECT * FROM (VALUES
 
 _NORM = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
+# ---- kg_regex: slot-7 recognizer over the order-derived template corpus ----
+# fixtures.regex_docs_table builds EXACTLY
+#   'Order <okey> placed <date> total <ip>.<fp> contact c<okey>@tpch.example refs <refs>.'
+# so every DATE/FLOAT/MAIL/INTEGER match span is string arithmetic over the
+# component lengths (l1 = len(okey), li = len(ip), lr = len(refs)); the date
+# is always 10 chars (4-2-2).  INTEGER ('-?\\b\\d+\\b') matches the okey, the
+# three date components ('1996', '-01', '-02' — the optional minus makes the
+# hyphen part of the match), the price int/frac parts, and refs; nothing
+# matches inside the mail (digits preceded by 'c' fail the word boundary).
+# Change fixture and oracle together (CLAUDE.md coupling invariant).
+
+_REGEX_M = """
+ro AS (
+  SELECT o_orderkey AS okey,
+         length(o_orderkey::VARCHAR)::BIGINT AS l1,
+         length((o_orderkey % 1000)::VARCHAR)::BIGINT AS li,
+         length(((o_orderkey * 7) % 10000)::VARCHAR)::BIGINT AS lr
+  FROM orders ORDER BY o_orderkey LIMIT 500
+),
+m AS (SELECT 'doc-regex-' || okey::VARCHAR AS doc_id, l1, li, lr FROM ro)
+"""
+
+ORACLES["kg_regex"] = f"""
+WITH {_REGEX_M}
+SELECT doc_id, pattern_name, r_start::BIGINT AS r_start, r_end::BIGINT AS r_end FROM (
+  SELECT doc_id, 'DATE' AS pattern_name, 14+l1 AS r_start, 24+l1 AS r_end FROM m
+  UNION ALL SELECT doc_id, 'FLOAT', 31+l1, 34+l1+li FROM m
+  UNION ALL SELECT doc_id, 'MAIL', 43+l1+li, 57+2*l1+li FROM m
+  UNION ALL SELECT doc_id, 'INTEGER', 6, 6+l1 FROM m
+  UNION ALL SELECT doc_id, 'INTEGER', 14+l1, 18+l1 FROM m
+  UNION ALL SELECT doc_id, 'INTEGER', 18+l1, 21+l1 FROM m
+  UNION ALL SELECT doc_id, 'INTEGER', 21+l1, 24+l1 FROM m
+  UNION ALL SELECT doc_id, 'INTEGER', 31+l1, 31+l1+li FROM m
+  UNION ALL SELECT doc_id, 'INTEGER', 32+l1+li, 34+l1+li FROM m
+  UNION ALL SELECT doc_id, 'INTEGER', 63+2*l1+li, 63+2*l1+li+lr FROM m
+)
+"""
+
+# priority mode: DATE/FLOAT suppress the overlapping INTEGER components;
+# only the standalone okey and refs integers survive
+ORACLES["kg_regex_priority"] = f"""
+WITH {_REGEX_M}
+SELECT doc_id, pattern_name, r_start::BIGINT AS r_start, r_end::BIGINT AS r_end FROM (
+  SELECT doc_id, 'DATE' AS pattern_name, 14+l1 AS r_start, 24+l1 AS r_end FROM m
+  UNION ALL SELECT doc_id, 'FLOAT', 31+l1, 34+l1+li FROM m
+  UNION ALL SELECT doc_id, 'MAIL', 43+l1+li, 57+2*l1+li FROM m
+  UNION ALL SELECT doc_id, 'INTEGER', 6, 6+l1 FROM m
+  UNION ALL SELECT doc_id, 'INTEGER', 63+2*l1+li, 63+2*l1+li+lr FROM m
+)
+"""
+
 ORACLES["dedup_exact"] = f"""
 SELECT doc_id FROM documents
 QUALIFY row_number() OVER (PARTITION BY {_NORM} ORDER BY doc_id) = 1

@@ -185,6 +185,40 @@ def kg_docs_table(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=DOC_SCHEMA)
 
 
+def regex_docs_table(sf_dir: str, limit: int = 500) -> pa.Table:
+    """Regex-rich corpus for the slot-7 recognizer oracle (kg_regex).
+
+    One doc per order (first ``limit`` by o_orderkey), EXACT template::
+
+        Order <okey> placed <date> total <price> contact c<okey>@tpch.example refs <refs>.
+
+    where date = ISO o_orderdate, price = "<okey%1000>.<(okey*7)%100 zero-
+    padded to 2>", refs = (okey*7)%10000.  Every DATE/FLOAT/MAIL/INTEGER
+    match position is then pure string arithmetic — mirrored in SQL by
+    ``oracle.ORACLES["kg_regex"]`` / ``["kg_regex_priority"]``.  Change
+    BOTH or neither (CLAUDE.md oracle-coupling invariant)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).sort_by(
+        "o_orderkey"
+    ).slice(0, limit)
+    ids, texts = [], []
+    for okey, odate in zip(
+        orders["o_orderkey"].to_pylist(), orders["o_orderdate"].to_pylist()
+    ):
+        price = "%d.%02d" % (okey % 1000, (okey * 7) % 100)
+        refs = (okey * 7) % 10000
+        # o_orderdate may be date or (as in the testdata) midnight datetime;
+        # either way the doc carries the ISO DATE only (oracle: strftime)
+        day = odate.date() if hasattr(odate, "date") else odate
+        ids.append("doc-regex-%d" % okey)
+        texts.append(
+            "Order %d placed %s total %s contact c%d@tpch.example refs %d."
+            % (okey, day.isoformat(), price, okey, refs)
+        )
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.string()), "plain_text": pa.array(texts, pa.string())}
+    )
+
+
 def kg_bench_docs_table(
     sf_dir: str, sentences_per_doc: int = 20, variant: int = 0
 ) -> pa.Table:

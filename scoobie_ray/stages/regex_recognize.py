@@ -31,9 +31,17 @@ DEFAULT_PATTERNS: dict[str, str] = {
 
 
 class RegexRecognizer:
-    def __init__(self, patterns: dict[str, str] | None = None):
+    """mode="all" (default) mirrors the reference exactly: every pattern
+    annotates all its matches independently
+    (RegularStructuredEntityRecognition.java:55-72 — one transduce pass per
+    regex, no cross-pattern interaction).  mode="priority" is an extension:
+    first-pattern-wins overlap suppression (pattern order = priority)."""
+
+    def __init__(self, patterns: dict[str, str] | None = None, mode: str = "all"):
         pats = patterns or DEFAULT_PATTERNS
         self.compiled = [(name, re.compile(rx)) for name, rx in pats.items()]
+        assert mode in ("all", "priority")
+        self.mode = mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..sources.docs import add_plain_text
@@ -41,16 +49,18 @@ class RegexRecognizer:
         if "plain_text" not in batch.column_names:
             batch = add_plain_text(batch)
         starts_col, ends_col, names_col = [], [], []
+        suppress = self.mode == "priority"
         for text in batch["plain_text"].to_pylist():
             ss, es, ns = [], [], []
             taken: list[tuple[int, int]] = []
             for name, rx in self.compiled:
                 for m in rx.finditer(text):
                     span = (m.start(), m.end())
-                    # first-pattern-wins on overlap (pattern order = priority)
-                    if any(a < span[1] and span[0] < b for a, b in taken):
-                        continue
-                    taken.append(span)
+                    if suppress:
+                        # first-pattern-wins on overlap (pattern order = priority)
+                        if any(a < span[1] and span[0] < b for a, b in taken):
+                            continue
+                        taken.append(span)
                     ss.append(span[0])
                     es.append(span[1])
                     ns.append(name)

@@ -80,6 +80,28 @@ def test_regex_recognizer():
     assert surf["FLOAT"] == "3.5"
 
 
+def test_regex_recognizer_modes():
+    """mode='all' = reference parity (every pattern independent, overlaps
+    co-exist); mode='priority' suppresses later-pattern overlaps."""
+    doc = _doc("On 2024-01-02 pay 3.50 now.")
+    spans = lambda out: set(
+        zip(
+            out["regex_name"].to_pylist()[0],
+            out["regex_start"].to_pylist()[0],
+            out["regex_end"].to_pylist()[0],
+        )
+    )
+    all_spans = spans(RegexRecognizer(mode="all")(doc))
+    pri_spans = spans(RegexRecognizer(mode="priority")(doc))
+    # all: INTEGER matches inside the DATE and FLOAT co-exist with them
+    assert ("DATE", 3, 13) in all_spans and ("INTEGER", 3, 7) in all_spans
+    assert ("FLOAT", 18, 22) in all_spans and ("INTEGER", 18, 19) in all_spans
+    # priority: the overlapping INTEGERs are suppressed, DATE/FLOAT stay
+    assert ("DATE", 3, 13) in pri_spans and ("INTEGER", 3, 7) not in pri_spans
+    assert ("FLOAT", 18, 22) in pri_spans and ("INTEGER", 18, 19) not in pri_spans
+    assert pri_spans < all_spans
+
+
 def test_phrase_classifier_votes_kb_class():
     kb = KBIndex(smoke_kb())
     batch = _tagged("Zeus is a Person from myth.")
