@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_spot": views.kg_spot,
         "kg_spot_ci": views.kg_spot_ci,
         "kg_candidates": views.kg_candidates,
+        "kg_candidates_scoped": views.kg_candidates_scoped,
         "kg_resolved": views.kg_resolved,
         "kg_known": views.kg_known,
         "kg_predicted": views.kg_predicted,

@@ -172,6 +172,20 @@ ORACLES["kg_candidates"] = (
     "FROM spot s JOIN labels l ON l.label = s.literal"
 )
 
+# scope produced by TemplateFilter.infer from seed {ont:operatesIn}:
+# markov domain/range clusters = {Supplier, Nation} (prob 1.0 > 0.5),
+# rated datatype properties = {rdfs:label} — the expansion is pytest-gated
+# (tests/test_stages_extended.py::test_template_infer_expands); this SQL
+# mirrors the RESULTING scope: label spotting unchanged, candidate
+# subjects restricted to the inferred clusters
+ORACLES["kg_candidates_scoped"] = (
+    f"{_KG_PREFIX}, {MENTIONS}, {SPOT} "
+    "SELECT DISTINCT s.doc_id, l.uri AS subj "
+    "FROM spot s JOIN labels l ON l.label = s.literal "
+    "WHERE l.cls IN ('http://example.org/ont/Supplier', "
+    "'http://example.org/ont/Nation')"
+)
+
 ORACLES["kg_resolved"] = (
     f"{_KG_PREFIX}, {RESOLVED} SELECT DISTINCT doc_id, subj FROM resolved"
 )

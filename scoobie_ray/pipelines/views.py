@@ -239,6 +239,47 @@ def kg_triples(sf_dir: str, concurrency=None):
     return decode_triples(canon, kb_ref).drop_columns(["belief", "n_docs"])
 
 
+def kg_candidates_scoped(sf_dir: str):
+    """Candidates under a TEMPLATE-INFERRED scope: the filter starts from
+    the single object property ont:operatesIn and ``TemplateFilter.infer``
+    expands it (markov-chain domain/range clusters -> {Supplier, Nation},
+    proper-noun-rated datatype properties -> {rdfs:label}); only subjects
+    typed in the inferred clusters survive linking.  The expansion itself
+    is pytest-gated (test_stages_extended.test_template_infer_expands);
+    the oracle mirrors the RESULTING scope in SQL."""
+    from ..kb.bundle import KBIndex
+    from ..sources.fixtures import P_OPERATES_IN
+    from ..stages.template import TemplateFilter
+
+    kb, kb_ref = _kb_and_ref(sf_dir)
+    tpl = TemplateFilter(object_properties=[P_OPERATES_IN]).infer(KBIndex(kb))
+    uris = kb.resources["uri"].to_pylist()
+
+    ds = _docs_ds(sf_dir).map_batches(
+        Spotter,
+        fn_constructor_kwargs={"kb": kb_ref, "template": tpl},
+        batch_format="pyarrow",
+        concurrency=autoscale_concurrency(cap=8),
+    ).map_batches(
+        Linker,
+        fn_constructor_kwargs={"kb": kb_ref, "template": tpl},
+        batch_format="pyarrow",
+        concurrency=autoscale_concurrency(cap=8),
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        d, s_ = [], []
+        for doc_id, subs in zip(t["doc_id"].to_pylist(), t["cand_subj"].to_pylist()):
+            for s in sorted(set(subs)):
+                d.append(doc_id)
+                s_.append(uris[s])
+        return pa.table(
+            {"doc_id": pa.array(d, pa.string()), "subj": pa.array(s_, pa.string())}
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def kg_spans(sf_dir: str):
     """Spans of the *pipeline output* rows — proves the per-row
     span-sequence invariant end-to-end, flattened for hashing."""

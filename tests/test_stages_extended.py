@@ -110,6 +110,32 @@ def test_phrase_classifier_votes_kb_class():
     assert "http://example.org/ont/Person" in types
 
 
+def test_template_infer_expands():
+    """FilterContext.infer port (model/FilterContext.java:248-284): seeding
+    with ONLY the object property ont:operatesIn must pull in its markov
+    domain/range clusters {Supplier, Nation} and their proper-noun-rated
+    datatype property rdfs:label.  This expansion is the fixture assumption
+    the kg_candidates_scoped oracle hardcodes — if it fails, fix oracle.py
+    and this test together."""
+    from scoobie_ray.kb.bundle import RDFS_LABEL, KBIndex
+    from scoobie_ray.sources.fixtures import C_NATION, C_SUPPLIER, P_OPERATES_IN
+
+    kb = KBIndex(kg_kb("/root/testdata/sf0.001"))
+    tpl = TemplateFilter(object_properties=[P_OPERATES_IN]).infer(kb)
+    assert set(tpl.types) == {C_SUPPLIER, C_NATION}
+    assert tpl.datatype_properties == [RDFS_LABEL]
+    assert tpl.object_properties == [P_OPERATES_IN]
+    # idempotent under re-inference (clusters already substituted)
+    again = tpl.infer(kb)
+    assert set(again.types) >= set(tpl.types)
+    assert set(again.datatype_properties) == set(tpl.datatype_properties)
+    # a high markov threshold expands nothing
+    empty = TemplateFilter(object_properties=[P_OPERATES_IN]).infer(
+        kb, markov_probability=1.0
+    )
+    assert empty.types == [] and empty.datatype_properties == []
+
+
 def test_template_filter_scopes_extraction():
     kb = KBIndex(kg_kb("/root/testdata/sf0.001"))
     tpl = TemplateFilter(
