@@ -94,3 +94,87 @@ def test_union_find_drop_set_matches_components_oracle(ray_session, pairs):
     ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
     survivors = sorted(r["doc_id"] for r in _drop_from_pairs(ds, pairs, "doc_id").take_all())
     assert survivors == sorted(keep)
+
+
+def test_distributed_cc_matches_driver_union_find(ray_session):
+    """_cc_labels (hash-min label propagation, the no-driver scale path)
+    assigns every node its component-min label — checked against the
+    driver union-find on a chain + star + singleton mix whose diameter
+    forces several propagation rounds."""
+    import pyarrow as pa
+    import ray.data
+
+    from scoobie_ray.ops.dedup import _cc_labels
+
+    # chain 0-1-2-...-19 (diameter 19, exercises pointer jumping),
+    # star 100<->101..110, pair (200, 201)
+    pairs = [(i, i + 1) for i in range(19)]
+    pairs += [(100, m) for m in range(101, 111)]
+    pairs += [(200, 201)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs], pa.int64()),
+                "b": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    )
+    labels = {r["n"]: r["l"] for r in _cc_labels(ds).take_all()}
+    for i in range(20):
+        assert labels[i] == 0
+    for m in range(100, 111):
+        assert labels[m] == 100
+    assert labels[200] == 200 and labels[201] == 200
+
+
+def test_high_dup_rate_corpus_distributed_resolution(ray_session):
+    """A >=50% duplicate corpus: forcing broadcast_resolve_limit=0 (and a
+    tiny pair-broadcast limit) must route through the distributed
+    connected-components + co-partitioned anti-join path and keep exactly
+    one representative (min doc_id) per planted cluster — identical to
+    the default broadcast resolution."""
+    import pyarrow as pa
+    import ray.data
+
+    from scoobie_ray.ops.dedup import minhash_dedup, simhash_dedup
+
+    # 40 clusters x 5 identical docs + 50 unique docs = 250 docs, 80% dup;
+    # cluster vocabularies are disjoint so only planted dups are similar
+    ids, texts = [], []
+    k = 0
+    for c in range(40):
+        t = " ".join("word%d" % (c * 97 + i * 13) for i in range(30))
+        for _ in range(5):
+            ids.append(k)
+            texts.append(t)
+            k += 1
+    for u in range(50):
+        ids.append(k)
+        texts.append(" ".join("uniq%d" % (10_000 + u * 83 + i * 7) for i in range(30)))
+        k += 1
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+        )
+    )
+
+    expected = sorted(
+        r["doc_id"]
+        for r in minhash_dedup(ds, threshold=0.8).take_all()
+    )
+    assert len(expected) == 90  # 40 representatives + 50 uniques
+
+    forced = sorted(
+        r["doc_id"]
+        for r in minhash_dedup(
+            ds, threshold=0.8, broadcast_resolve_limit=0
+        ).take_all()
+    )
+    assert forced == expected
+
+    sh_expected = sorted(r["doc_id"] for r in simhash_dedup(ds).take_all())
+    sh_forced = sorted(
+        r["doc_id"]
+        for r in simhash_dedup(ds, broadcast_resolve_limit=0).take_all()
+    )
+    assert sh_forced == sh_expected
