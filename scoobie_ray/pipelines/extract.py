@@ -57,6 +57,7 @@ class ExtractActor:
         tag: bool = False,
         regex: bool = False,
         classify: bool = False,
+        classifier_model=None,
         langid: bool = False,
         strict: bool = True,
     ):
@@ -87,9 +88,16 @@ class ExtractActor:
             self.tagger = POSTagger()
             self.chunker = NounPhraseChunker()
         if classify:
-            from ..stages.classify import PhraseClassifier
+            if classifier_model is not None:
+                # trained MaxEnt path (stages/classify_train.py) — the
+                # model ships in fn_constructor_kwargs, once per actor
+                from ..stages.classify_train import TrainedPhraseClassifier
 
-            self.classifier = PhraseClassifier(index)
+                self.classifier = TrainedPhraseClassifier(classifier_model)
+            else:
+                from ..stages.classify import PhraseClassifier
+
+                self.classifier = PhraseClassifier(index)
         if regex:
             from ..stages.regex_recognize import RegexRecognizer
 
