@@ -139,6 +139,118 @@ def _distinct(table: pa.Table) -> pa.Table:
     return table.group_by(table.column_names).aggregate([]).select(table.column_names)
 
 
+def _avg_linkage_type_clusters(
+    types: pa.Table, cut_frac: float, bias: float
+) -> dict[int, int]:
+    """Reference-parity hierarchical type clustering, driver-side on the
+    small #types² matrix.
+
+    1. subjects × types incidence → type-correlation matrix
+       (PostgresKB.getTypeCorrelations + covariance + Statistic.correlation,
+       :1548-1552); zero-variance columns correlate 0.
+    2. agglomerative AVERAGE linkage where member distance = Euclidean
+       distance between correlation-matrix rows, merged cluster appended
+       at the list end and ties resolved by the same a>b scan order as
+       HierarchicalClustering.getClosestClusters (:64-102).
+    3. dendrogram cut at ``cut_frac × max merge distance``
+       (DoubleMatrix.extractClusters :549-580).
+    4. per flat cluster, each member k gets weight
+       mean_j P(k|j) × mean_j P(j|k) over members j (the ancestors ×
+       distance product of labelClusters :586-640 restricted to cluster
+       members; the external-ancestor adoption step is not ported —
+       documented divergence) and the max-weight member labels the
+       cluster; singleton/unclustered types label themselves
+       (clusterCorrelatingClasses :1590-1599).
+    """
+    import numpy as np
+
+    subj = types["subject"].to_pylist()
+    typ = types["type"].to_pylist()
+    tids = sorted(set(typ))
+    if not tids:
+        return {}
+    if len(tids) == 1:
+        return {tids[0]: tids[0]}
+    tpos = {t: i for i, t in enumerate(tids)}
+    subs = sorted(set(subj))
+    spos = {s: i for i, s in enumerate(subs)}
+    X = np.zeros((len(subs), len(tids)))
+    for s, t in zip(subj, typ):
+        X[spos[s], tpos[t]] = 1.0
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cor = np.corrcoef(X, rowvar=False)
+    cor = np.nan_to_num(np.atleast_2d(cor), nan=0.0, posinf=0.0, neginf=0.0)
+    np.fill_diagonal(cor, 1.0)
+    D = np.sqrt(
+        np.maximum(((cor[:, None, :] - cor[None, :, :]) ** 2).sum(-1), 0.0)
+    )
+
+    # agglomerative average linkage over the fixed row-distance matrix
+    nodes: list[dict] = [
+        {"members": [i], "dist": None, "children": None} for i in range(len(tids))
+    ]
+    current = list(range(len(tids)))
+    merge_dists: list[float] = []
+    while len(current) > 1:
+        best_d, best_a, best_b = float("inf"), -1, -1
+        for ai in range(len(current)):
+            ma = nodes[current[ai]]["members"]
+            for bi in range(ai):
+                mb = nodes[current[bi]]["members"]
+                d = float(D[np.ix_(ma, mb)].mean())
+                if d < best_d:
+                    best_d, best_a, best_b = d, ai, bi
+        a_id, b_id = current[best_a], current[best_b]
+        nodes.append(
+            {
+                "members": nodes[a_id]["members"] + nodes[b_id]["members"],
+                "dist": best_d,
+                "children": (a_id, b_id),
+            }
+        )
+        merge_dists.append(best_d)
+        for i in sorted((best_a, best_b), reverse=True):
+            current.pop(i)
+        current.append(len(nodes) - 1)
+
+    cut = max(merge_dists) * cut_frac
+    flat: list[list[int]] = []
+
+    def collect(nid: int) -> None:
+        node = nodes[nid]
+        if node["children"] is None or node["dist"] <= cut:
+            flat.append(node["members"])
+            return
+        collect(node["children"][0])
+        collect(node["children"][1])
+
+    collect(current[0])
+
+    # conditional probabilities P(i|j) = co(i,j)/n(j), floored by bias
+    co = X.T @ X
+    n_t = np.maximum(np.diag(co), 1.0)
+    cp = co / n_t[None, :]
+    cp[cp < bias] = 0.0
+
+    out: dict[int, int] = {}
+    for members in flat:
+        if len(members) == 1:
+            out[tids[members[0]]] = tids[members[0]]
+            continue
+        m = np.asarray(members)
+        sub = cp[np.ix_(m, m)]
+        # labelClusters :613-626 accumulates both factors only where
+        # P(k|j)·P(j|k) > 0, dividing by the full cluster size
+        mask = (sub * sub.T) > 0
+        L = len(members)
+        w = ((sub * mask).sum(axis=1) / L) * ((sub.T * mask).sum(axis=1) / L)
+        best = members[int(np.argmax(w))]  # ties: first (lowest position)
+        for k in members:
+            out[tids[k]] = tids[best]
+    return out
+
+
 def build_markov_chain(
     relations: pa.Table,
     types: pa.Table,
@@ -242,17 +354,27 @@ def build_cardinalities(relations: pa.Table) -> pa.Table:
     )
 
 
-def cluster_correlating_types(types: pa.Table, threshold: float = 0.5) -> dict[int, int]:
+def cluster_correlating_types(
+    types: pa.Table, threshold: float = 0.5, linkage: str = "jaccard", bias: float = 0.0
+) -> dict[int, int]:
     """Group types that co-occur on the same subjects into clusters.
 
-    A simplified stand-in for the reference's agglomerative clustering over
-    the type-correlation matrix (PostgresKB.clusterCorrelatingClasses
-    :1540-1603 + DoubleMatrix.hierarchicalLabeledClustering :517-667):
-    types whose Jaccard co-occurrence over subjects exceeds ``threshold``
-    are merged (union-find); the cluster label is the smallest member type
+    ``linkage="jaccard"`` (default, drives the oracle fixtures): types
+    whose Jaccard co-occurrence over subjects exceeds ``threshold`` are
+    merged (union-find); the cluster label is the smallest member type
     index.  With single-typed subjects this degenerates to identity
-    clustering, matching our oracle fixtures.
+    clustering.
+
+    ``linkage="average"`` is the reference-parity path
+    (:func:`_avg_linkage_type_clusters`): agglomerative average-linkage
+    clustering over the type-correlation matrix with a dendrogram cut at
+    ``threshold`` × max merge distance, cluster labels picked by
+    conditional-probability weight — PostgresKB.clusterCorrelatingClasses
+    :1540-1603 + HierarchicalClustering.java:64-117 +
+    DoubleMatrix.hierarchicalLabeledClustering/labelClusters :517-667.
     """
+    if linkage == "average":
+        return _avg_linkage_type_clusters(types, threshold, bias)
     subj = types["subject"].to_pylist()
     typ = types["type"].to_pylist()
     by_type: dict[int, set[int]] = {}

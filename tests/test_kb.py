@@ -201,3 +201,46 @@ def test_build_kb_job_cli_from_mixed_dumps(ray_session, tmp_path):
     spotted = Spotter(kb)(docs)
     lits = {kb.literal(x) for x in spotted["mention_literal"].to_pylist()[0]}
     assert lits == {"Alpha Station", "Beta Camp"}
+
+
+def test_avg_linkage_type_clusters():
+    """linkage="average" (reference parity: HierarchicalClustering +
+    DoubleMatrix.labelClusters): perfectly co-occurring types merge under
+    one best-label member; independent types stay singletons; the fixture
+    KB's single-typed subjects reduce to identity clustering on both
+    linkages."""
+    import pyarrow as pa
+
+    from scoobie_ray.kb.build import cluster_correlating_types
+
+    # subjects 0-4 carry {10,11} together; 5-9 carry {12}; 10 carries {13}
+    subj, typ = [], []
+    for s in range(5):
+        subj += [s, s]
+        typ += [10, 11]
+    for s in range(5, 10):
+        subj.append(s)
+        typ.append(12)
+    subj.append(10)
+    typ.append(13)
+    t = pa.table(
+        {"subject": pa.array(subj, pa.int64()), "type": pa.array(typ, pa.int64())}
+    )
+    cl = cluster_correlating_types(t, threshold=0.3, linkage="average")
+    assert cl[10] == cl[11], "perfectly correlated types must share a cluster"
+    assert cl[10] in (10, 11)
+    assert cl[12] == 12 and cl[13] == 13
+    # deterministic across calls
+    assert cl == cluster_correlating_types(t, threshold=0.3, linkage="average")
+
+    # fixture KB: single-typed subjects -> identity on the average path,
+    # agreeing with the default jaccard path the oracles ride on
+    from scoobie_ray.sources.fixtures import kg_triple_table
+    from scoobie_ray.kb.build import build_kb_from_triples
+
+    kb = build_kb_from_triples(kg_triple_table("/root/testdata/sf0.001"))
+    types = kb.types
+    ident = cluster_correlating_types(types, linkage="average")
+    assert all(k == v for k, v in ident.items())
+    jac = cluster_correlating_types(types)
+    assert ident == jac
