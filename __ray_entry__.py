@@ -151,6 +151,68 @@ def _q_knn_ivf(sf_dir: str):
     return out.select(["query_id", "vec_id", "rank"])
 
 
+def _q_knn_recall(sf_dir: str, kind: str):
+    """Bounded correctness signal for the persisted ANN indexes: recall@5
+    vs exact brute force as an integer percentage per query.  The probe
+    configurations (LSH n_bits=4/probe_bits=2, IVF n_probe=4) achieve
+    recall 1.0 on the fixture embeddings at sf0.001 and sf0.01 (measured
+    r3) while still pruning IO, so the oracle asserts 100 — a lost true
+    neighbor anywhere in the index build/probe/read path fails the gate."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from scoobie_ray.ops.similarity import (
+        build_ivf_index,
+        build_lsh_index,
+        knn_bruteforce,
+        knn_ivf_indexed,
+        knn_lsh_indexed,
+    )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt["vec_id"], 3))
+    qids = qt["vec_id"].to_pylist()
+    qv = qt["embedding"].to_pylist()
+    dim = len(qv[0])
+    k = 5
+    bf = knn_bruteforce(emb, qids, qv, k=k)
+    if kind == "lsh":
+        idx = build_lsh_index(emb, tempfile.mkdtemp(prefix="scoobie-lshr-"), dim=dim, n_bits=4)
+        ann = knn_lsh_indexed(idx, qids, qv, k=k, probe_bits=2)
+    else:
+        idx = build_ivf_index(emb, tempfile.mkdtemp(prefix="scoobie-ivfr-"), dim=dim, n_lists=8)
+        ann = knn_ivf_indexed(idx, qids, qv, k=k, n_probe=4)
+    bf_sets: dict[int, set] = {}
+    for r in bf.to_pylist():
+        bf_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ann_sets: dict[int, set] = {}
+    for r in ann.to_pylist():
+        ann_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    out_q = sorted(bf_sets)
+    out_r = [
+        len(bf_sets[q] & ann_sets.get(q, set())) * 100 // len(bf_sets[q]) for q in out_q
+    ]
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "recall_pct": pa.array(out_r, pa.int64()),
+        }
+    )
+
+
+def _q_knn_lsh_recall(sf_dir: str):
+    return _q_knn_recall(sf_dir, "lsh")
+
+
+def _q_knn_ivf_recall(sf_dir: str):
+    return _q_knn_recall(sf_dir, "ivf")
+
+
 def _q_kg_media(sf_dir: str):
     """Media spans exploded from the interleaved docs (the multimodal
     plumbing surface)."""
@@ -343,6 +405,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _q_knn,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
+        "knn_lsh_recall": _q_knn_lsh_recall,
+        "knn_ivf_recall": _q_knn_ivf_recall,
         "dedup_embedding": _q_dedup_embedding,
         "np_chunks": _q_np_chunks,
         "kg_rated": _q_kg_rated,

@@ -489,6 +489,18 @@ LEFT JOIN best b ON b.doc_id = doc.doc_id AND b.rk = 1
 """
 
 
+# ANN recall gates: the fixture embeddings + probe configs (LSH n_bits=4/
+# probe_bits=2, IVF n_probe=4) give recall@5 = 1.0 (measured r3, both sf);
+# the oracle asserts exactly 100 per query, so any lost true neighbor in
+# the persisted index build/probe/read path fails the hash compare.  If a
+# testdata regeneration lowers achievable recall, re-measure and adjust
+# the probe config in __ray_entry__._q_knn_recall, not this oracle.
+ORACLES["knn_lsh_recall"] = """
+SELECT vec_id AS query_id, 100::BIGINT AS recall_pct
+FROM embeddings WHERE vec_id < 3 ORDER BY vec_id
+"""
+ORACLES["knn_ivf_recall"] = ORACLES["knn_lsh_recall"]
+
 ORACLES["langid"] = _langid_oracle()
 
 ORACLES["quality_flags"] = """
