@@ -270,30 +270,54 @@ def _bucket_star_pairs(sig_ds, id_col: str):
 
 
 def _attach_texts_and_verify(pairs_ds, corpus_ds, id_col, text_col, prepare, accept):
-    """Distributed pair verification (no driver text fetch).
+    """Distributed pair verification (no driver text fetch) — the path for
+    pair counts too large to broadcast, so every step is PARTITION-wise
+    vectorized (P Python calls, never one per doc or per pair):
 
-    1. explode each candidate pair into two side rows (doc_id, pair, side);
-    2. union with the corpus (side = -1) and ``groupby(doc_id)`` — each
-       group holds one text row plus the pair-sides that need it, so the
-       corpus text is shuffled exactly once;
-    3. ``groupby(pair)`` co-locates both texts; ``accept(prepare(ta),
-       prepare(tb))`` decides inside the group (``prepare`` results are
-       memoized per worker process keyed by doc id — a doc in many pairs
-       is sketched once, not per pair).
+    1. explode each candidate pair into two side rows carrying the pair
+       as TWO TYPED COLUMNS (_ka, _kb) — never a delimited string key:
+       pandas' hash-based ops (drop_duplicates/groupby/merge) treat
+       strings as C-strings and silently collapse keys at an embedded
+       NUL, which corrupted the r3 first cut — and union with the corpus
+       (side = -1), hash-partitioned by doc id (corpus text shuffled
+       exactly once);
+    2. per partition, one pandas merge attaches each side row's text
+       (vectorized C join — replacing one-Python-call-per-doc
+       ``groupby(doc_id).map_groups``);
+    3. re-partition by pair hash; per partition one stable sort lines up
+       the two sides of every pair (first-occurrence dedup and adjacency
+       are COMPARISON-based on the typed columns) and a single tight
+       loop runs ``accept(prepare(ta), prepare(tb))`` per pair
+       (``prepare`` memoized per worker keyed by doc id).
 
     Returns a (a, b) dataset of verified pairs.
     """
     import pandas as pd
 
+    P = _shuffle_parallelism()
+
+    def _pair_part(ka: pd.Series, kb: pd.Series) -> np.ndarray:
+        from ..util import splitmix64_np
+
+        ha = _id_part(ka, 1 << 62).astype(np.uint64)
+        hb = _id_part(kb, 1 << 62).astype(np.uint64)
+        return ((splitmix64_np(ha) ^ splitmix64_np(~hb)) % np.uint64(P)).astype(
+            np.int64
+        )
+
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        a, b = batch["a"].tolist(), batch["b"].tolist()
-        pk = [f"{x}\x00{y}" for x, y in zip(a, b)]
+        n = len(batch)
+        ids = pd.concat([batch["a"], batch["b"]], ignore_index=True)
+        ka = pd.concat([batch["a"], batch["a"]], ignore_index=True)
+        kb = pd.concat([batch["b"], batch["b"]], ignore_index=True)
         return pd.DataFrame(
             {
-                id_col: a + b,
-                "_pair": pk + pk,
-                "_side": [0] * len(a) + [1] * len(b),
-                text_col: [""] * (2 * len(a)),
+                id_col: ids,
+                "_ka": ka,
+                "_kb": kb,
+                "_side": np.repeat(np.array([0, 1], dtype=np.int8), n),
+                text_col: "",
+                "_part": _id_part(ids, P),
             }
         )
 
@@ -301,9 +325,11 @@ def _attach_texts_and_verify(pairs_ds, corpus_ds, id_col, text_col, prepare, acc
         return pd.DataFrame(
             {
                 id_col: batch[id_col],
-                "_pair": ["" for _ in range(len(batch))],
-                "_side": [-1] * len(batch),
+                "_ka": batch[id_col],  # placeholder, keeps the id dtype
+                "_kb": batch[id_col],
+                "_side": np.full(len(batch), -1, dtype=np.int8),
                 text_col: batch[text_col],
+                "_part": _id_part(batch[id_col], P),
             }
         )
 
@@ -312,33 +338,37 @@ def _attach_texts_and_verify(pairs_ds, corpus_ds, id_col, text_col, prepare, acc
         tag_corpus, batch_format="pandas"
     )
 
-    def attach(group: pd.DataFrame) -> pd.DataFrame:
-        text_rows = group[group["_side"] == -1]
-        need = group[group["_side"] >= 0]
-        if len(text_rows) == 0 or len(need) == 0:
+    def attach_part(part: pd.DataFrame) -> pd.DataFrame:
+        texts = part[part["_side"] == -1]
+        need = part[part["_side"] >= 0]
+        if not len(texts) or not len(need):
+            e = part[id_col].iloc[:0]
             return pd.DataFrame(
                 {
-                    "_pair": pd.Series([], dtype=object),
-                    "_side": pd.Series([], dtype=np.int64),
-                    "_pid": group[id_col].iloc[:0],  # keep the original id dtype
+                    "_ka": e,
+                    "_kb": e,
+                    "_side": pd.Series([], dtype=np.int8),
+                    "_pid": e,
                     text_col: pd.Series([], dtype=object),
+                    "_part2": pd.Series([], dtype=np.int64),
                 }
             )
-        text = text_rows[text_col].iloc[0]
+        merged = need.drop(columns=[text_col]).merge(
+            texts[[id_col, text_col]], on=id_col, how="inner"
+        )
         return pd.DataFrame(
             {
-                "_pair": need["_pair"],
-                "_side": need["_side"],
-                "_pid": need[id_col],
-                text_col: text,
+                "_ka": merged["_ka"],
+                "_kb": merged["_kb"],
+                "_side": merged["_side"],
+                "_pid": merged[id_col],
+                text_col: merged[text_col],
+                "_part2": _pair_part(merged["_ka"], merged["_kb"]),
             }
         )
 
     withtext = (
-        sides.union(corpus)
-        .repartition(_shuffle_parallelism())
-        .groupby(id_col)
-        .map_groups(attach, batch_format="pandas")
+        sides.union(corpus).groupby("_part").map_groups(attach_part, batch_format="pandas")
     )
 
     sketch_cache: dict = {}  # per worker process; docs repeat across pairs
@@ -351,22 +381,43 @@ def _attach_texts_and_verify(pairs_ds, corpus_ds, id_col, text_col, prepare, acc
             s = sketch_cache[pid] = prepare(text)
         return s
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"a": group["_pid"].iloc[:0], "b": group["_pid"].iloc[:0]}
+    def verify_part(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": part["_pid"].iloc[:0], "b": part["_pid"].iloc[:0]})
+        if not len(part):
+            return empty
+        df = part.sort_values(["_ka", "_kb", "_side"], kind="mergesort")
+        ka = df["_ka"].to_numpy()
+        kb = df["_kb"].to_numpy()
+        side = df["_side"].to_numpy()
+        # comparison-based first-occurrence dedup of (ka, kb, side) rows
+        # (the same pair arrives once per band)
+        keep = np.empty(len(df), dtype=bool)
+        keep[0] = True
+        keep[1:] = (ka[1:] != ka[:-1]) | (kb[1:] != kb[:-1]) | (side[1:] != side[:-1])
+        ka, kb, side = ka[keep], kb[keep], side[keep]
+        pid = df["_pid"].to_numpy()[keep]
+        txt = df[text_col].to_numpy()[keep]
+        both = np.flatnonzero(
+            (side[:-1] == 0)
+            & (side[1:] == 1)
+            & (ka[:-1] == ka[1:])
+            & (kb[:-1] == kb[1:])
         )
-        g = group.drop_duplicates("_side")
-        if len(g) != 2:
-            return empty
-        g = g.sort_values("_side")
-        pa_, pb = g["_pid"].iloc[0], g["_pid"].iloc[1]
-        if not accept(_sketch(pa_, g[text_col].iloc[0]), _sketch(pb, g[text_col].iloc[1])):
-            return empty
-        # ids come from the typed _pid column, never parsed back from the
-        # string pair key (which would corrupt int ids into strings)
-        return pd.DataFrame({"a": [pa_], "b": [pb]})
+        out_a, out_b = [], []
+        for i in both:
+            if accept(_sketch(pid[i], txt[i]), _sketch(pid[i + 1], txt[i + 1])):
+                # ids come from the typed _pid column
+                out_a.append(pid[i])
+                out_b.append(pid[i + 1])
+        dtype = part["_pid"].dtype
+        return pd.DataFrame(
+            {
+                "a": pd.Series(out_a, dtype=dtype if out_a else object),
+                "b": pd.Series(out_b, dtype=dtype if out_b else object),
+            }
+        )
 
-    return withtext.groupby("_pair").map_groups(verify, batch_format="pandas")
+    return withtext.groupby("_part2").map_groups(verify_part, batch_format="pandas")
 
 
 def _broadcast_verify(pairs_ds, corpus_ds, id_col, text_col, prepare, accept):

@@ -178,3 +178,74 @@ def test_high_dup_rate_corpus_distributed_resolution(ray_session):
         for r in simhash_dedup(ds, broadcast_resolve_limit=0).take_all()
     )
     assert sh_forced == sh_expected
+
+
+def test_attach_verify_path_matches_broadcast(ray_session):
+    """Forcing broadcast_pair_limit=0 routes minhash/ngram through the
+    partition-wise shuffle-attach verify (the huge-pair-count path, which
+    had no coverage before r3); survivors must equal the default
+    broadcast-verify path exactly."""
+    import pyarrow as pa
+    import ray.data
+
+    from scoobie_ray.ops.dedup import _near_dedup_lsh, _minhash_bands_fn, char_shingles, jaccard_u64, minhash_dedup
+
+    ids, texts = [], []
+    k = 0
+    for c in range(20):
+        t = " ".join("tok%d" % (c * 101 + i * 17) for i in range(25))
+        for _ in range(4):
+            ids.append(k)
+            texts.append(t)
+            k += 1
+    for u in range(30):
+        ids.append(k)
+        texts.append(" ".join("only%d" % (5000 + u * 91 + i * 11) for i in range(25)))
+        k += 1
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+        )
+    )
+    expected = sorted(r["doc_id"] for r in minhash_dedup(ds, threshold=0.8).take_all())
+    assert len(expected) == 50
+    forced = _near_dedup_lsh(
+        ds,
+        _minhash_bands_fn(64, 16, 5, "doc_id", "text"),
+        "doc_id",
+        "text",
+        prepare=lambda t: char_shingles(t, 5),
+        accept=lambda sa, sb: jaccard_u64(sa, sb) >= 0.8,
+        broadcast_pair_limit=0,
+    )
+    assert sorted(r["doc_id"] for r in forced.take_all()) == expected
+
+
+def test_attach_verify_path_string_ids(ray_session):
+    """The shuffle-attach path must preserve string id dtypes end-to-end
+    (ids ride typed _pid columns, never parsed from the pair key)."""
+    import pyarrow as pa
+    import ray.data
+
+    from scoobie_ray.ops.dedup import _near_dedup_lsh, _minhash_bands_fn, char_shingles, jaccard_u64
+
+    ids = [f"doc-{i:03d}" for i in range(40)]
+    texts = []
+    for i in range(40):
+        base = i // 2  # consecutive pairs share text -> 20 clusters of 2
+        texts.append(" ".join("w%d" % (base * 131 + j * 19) for j in range(25)))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.string()), "text": pa.array(texts, pa.string())})
+    )
+    out = _near_dedup_lsh(
+        ds,
+        _minhash_bands_fn(64, 16, 5, "doc_id", "text"),
+        "doc_id",
+        "text",
+        prepare=lambda t: char_shingles(t, 5),
+        accept=lambda sa, sb: jaccard_u64(sa, sb) >= 0.8,
+        broadcast_pair_limit=0,
+    )
+    surv = sorted(r["doc_id"] for r in out.take_all())
+    assert surv == [f"doc-{i:03d}" for i in range(0, 40, 2)]
+    assert all(isinstance(s, str) for s in surv)
