@@ -352,6 +352,94 @@ def _q_kg_regex_priority(sf_dir: str):
     return _q_kg_regex(sf_dir, mode="priority")
 
 
+def _q_doc_tokens(sf_dir: str):
+    """Slot-1 word segmentation over the documents corpus (single-spaced
+    lowercase words — gated by
+    tests/test_oracle_fixture_invariants.py::test_documents_single_spaced
+    — so token offsets equal the SQL space-split derivation)."""
+    import pyarrow as pa
+
+    from scoobie_ray.stages.segment import segment_batch
+
+    def to_docs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array([str(x) for x in t["doc_id"].to_pylist()], pa.string()),
+                "plain_text": t["text"],
+            }
+        )
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = segment_batch(t)
+        d, ti, ts, te = [], [], [], []
+        for doc_id, ss, es in zip(
+            t["doc_id"].to_pylist(),
+            t["tok_start"].to_pylist(),
+            t["tok_end"].to_pylist(),
+        ):
+            for i, (s, e) in enumerate(zip(ss, es)):
+                d.append(doc_id)
+                ti.append(i)
+                ts.append(s)
+                te.append(e)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.string()),
+                "tok_idx": pa.array(ti, pa.int64()),
+                "t_start": pa.array(ts, pa.int64()),
+                "t_end": pa.array(te, pa.int64()),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(to_docs, batch_format="pyarrow").map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def _q_doc_sentences(sf_dir: str):
+    """Slot-2 sentence segmentation over the 3-sentence order-template
+    corpus (fixtures.sentence_docs_table): per sentence — token count and
+    char span, all arithmetic in the oracle."""
+    import pyarrow as pa
+    import ray.data
+
+    from scoobie_ray.sources.fixtures import sentence_docs_table
+    from scoobie_ray.stages.segment import segment_batch
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = segment_batch(t)
+        d, si, nt, s0, e1 = [], [], [], [], []
+        for doc_id, ss, es, sids in zip(
+            t["doc_id"].to_pylist(),
+            t["tok_start"].to_pylist(),
+            t["tok_end"].to_pylist(),
+            t["tok_sent"].to_pylist(),
+        ):
+            by_sent: dict[int, list[int]] = {}
+            for i, sid in enumerate(sids):
+                by_sent.setdefault(sid, []).append(i)
+            for sid in sorted(by_sent):
+                toks = by_sent[sid]
+                d.append(doc_id)
+                si.append(sid)
+                nt.append(len(toks))
+                s0.append(ss[toks[0]])
+                e1.append(es[toks[-1]])
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.string()),
+                "sent_id": pa.array(si, pa.int64()),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "s_start": pa.array(s0, pa.int64()),
+                "s_end": pa.array(e1, pa.int64()),
+            }
+        )
+
+    return ray.data.from_arrow(sentence_docs_table(sf_dir)).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
 def _q_kb_parse_turtle(sf_dir: str):
     """Turtle + gzip ingestion: deterministic dump derived from nation /
     region (sources/rdf_fixtures.py), parsed distributed (one task per
@@ -388,6 +476,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_media": _q_kg_media,
         "kg_regex": _q_kg_regex,
         "kg_regex_priority": _q_kg_regex_priority,
+        "doc_tokens": _q_doc_tokens,
+        "doc_sentences": _q_doc_sentences,
         "kb_resources": views.kb_resources,
         "kb_cardinalities": views.kb_cardinalities,
         "kb_markov": views.kb_markov,

@@ -418,6 +418,54 @@ SELECT doc_id, pattern_name, r_start::BIGINT AS r_start, r_end::BIGINT AS r_end 
 )
 """
 
+# ---- segmentation oracles (slots 1-2) --------------------------------------
+# doc_tokens: the documents corpus is single-spaced lowercase words
+# (gated by tests/test_oracle_fixture_invariants.py), so token offsets
+# equal the space-split derivation.  generate_series needs a constant
+# bound (no lateral args in DuckDB) — 512 > max token count, filtered.
+ORACLES["doc_tokens"] = """
+WITH d AS (
+  SELECT doc_id::VARCHAR AS doc_id, string_split(text, ' ') AS words FROM documents
+),
+ix AS (SELECT i FROM generate_series(1, 512) AS t(i))
+SELECT d.doc_id,
+       (ix.i - 1)::BIGINT AS tok_idx,
+       (CASE WHEN ix.i = 1 THEN 0
+             ELSE length(array_to_string(d.words[1:ix.i-1], ' ')) + 1 END)::BIGINT
+         AS t_start,
+       (CASE WHEN ix.i = 1 THEN 0
+             ELSE length(array_to_string(d.words[1:ix.i-1], ' ')) + 1 END
+        + length(d.words[ix.i]))::BIGINT AS t_end
+FROM d, ix
+WHERE ix.i <= len(d.words)
+"""
+
+# doc_sentences: sentence i of doc d is the regex template of order
+# rn = 3d + i (see fixtures.sentence_docs_table) — 21 tokens always,
+# char length 64 + 2*l1 + li + lr, sentences joined by one space.
+ORACLES["doc_sentences"] = """
+WITH ro AS (
+  SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS rn,
+         length(o_orderkey::VARCHAR)::BIGINT AS l1,
+         length((o_orderkey % 1000)::VARCHAR)::BIGINT AS li,
+         length(((o_orderkey * 7) % 10000)::VARCHAR)::BIGINT AS lr
+  FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 600)
+),
+s AS (
+  SELECT (rn // 3) AS doc, (rn % 3) AS sid, 64 + 2*l1 + li + lr AS slen FROM ro
+),
+pos AS (
+  SELECT doc, sid, slen,
+         sum(slen + 1) OVER (PARTITION BY doc ORDER BY sid
+                             ROWS UNBOUNDED PRECEDING) - slen - 1 AS sstart
+  FROM s
+)
+SELECT 'doc-sent-' || doc AS doc_id, sid::BIGINT AS sent_id,
+       21::BIGINT AS n_tokens, sstart::BIGINT AS s_start,
+       (sstart + slen)::BIGINT AS s_end
+FROM pos
+"""
+
 ORACLES["dedup_exact"] = f"""
 SELECT doc_id FROM documents
 QUALIFY row_number() OVER (PARTITION BY {_NORM} ORDER BY doc_id) = 1

@@ -219,6 +219,28 @@ def regex_docs_table(sf_dir: str, limit: int = 500) -> pa.Table:
     )
 
 
+def sentence_docs_table(sf_dir: str, limit: int = 600) -> pa.Table:
+    """Multi-sentence corpus for the slot-1/2 segmentation oracle
+    (doc_sentences): doc i concatenates the :func:`regex_docs_table`
+    templates of orders 3i, 3i+1, 3i+2 (first ``limit`` orders by
+    o_orderkey, ``limit`` divisible by 3) joined by single spaces.  Each
+    template is one sentence ending in '.', tokenizes to exactly 21
+    tokens under the segmenter's rules, and its length is
+    64 + 2·len(okey) + len(okey%1000) + len((okey·7)%10000) — so every
+    sentence's token count and char span is pure arithmetic, mirrored in
+    SQL by ``oracle.ORACLES["doc_sentences"]``.  Change BOTH or neither."""
+    assert limit % 3 == 0
+    base = regex_docs_table(sf_dir, limit=limit)
+    texts = base["plain_text"].to_pylist()
+    ids, out = [], []
+    for i in range(0, len(texts) - len(texts) % 3, 3):
+        ids.append("doc-sent-%d" % (i // 3))
+        out.append(" ".join(texts[i : i + 3]))
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.string()), "plain_text": pa.array(out, pa.string())}
+    )
+
+
 def kg_bench_docs_table(
     sf_dir: str, sentences_per_doc: int = 20, variant: int = 0
 ) -> pa.Table:

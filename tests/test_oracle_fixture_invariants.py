@@ -133,3 +133,20 @@ def test_duplicate_clusters_are_hub_connected():
                     f"within threshold of the hub; engine star-verify would "
                     f"diverge from the all-pairs oracle"
                 )
+
+
+def test_documents_single_spaced_lowercase():
+    """The doc_tokens oracle derives token offsets by splitting on single
+    spaces; that equals the segmenter's output only while document texts
+    are single-spaced lowercase a-z words (no punctuation, no doubled/
+    leading/trailing spaces).  Fix oracle.py doc_tokens if this fails
+    after a testdata regeneration."""
+    import re
+
+    texts = _doc_texts().values()
+    bad = [
+        t[:40]
+        for t in texts
+        if not t or not re.fullmatch(r"[a-z]+( [a-z]+)*", t)
+    ]
+    assert not bad, f"documents texts violate the space-split assumption: {bad[:3]}"
