@@ -396,6 +396,55 @@ def _q_doc_tokens(sf_dir: str):
     )
 
 
+def _q_doc_pos_np(sf_dir: str):
+    """Slots 3-4 (heuristic POS tagging + NP chunking) over the
+    3-sentence order-template corpus: the (pos, np) tag of every token
+    position is CONSTANT across all template instances (verified at
+    sf0.001/0.01/0.1 — shape-based rules don't depend on digit widths),
+    so the oracle is the 21-row constant sequence cross-joined with the
+    sentence table."""
+    import pyarrow as pa
+    import ray.data
+
+    from scoobie_ray.sources.fixtures import sentence_docs_table
+    from scoobie_ray.stages.segment import segment_batch
+    from scoobie_ray.stages.tag import NounPhraseChunker, POSTagger
+
+    tagger, chunker = POSTagger(), NounPhraseChunker()
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = chunker(tagger(segment_batch(t)))
+        d, si, ti, pos_c, np_c = [], [], [], [], []
+        for doc_id, sids, pos, nps in zip(
+            t["doc_id"].to_pylist(),
+            t["tok_sent"].to_pylist(),
+            t["tok_pos"].to_pylist(),
+            t["tok_np"].to_pylist(),
+        ):
+            within: dict[int, int] = {}
+            for i, sid in enumerate(sids):
+                k = within.get(sid, 0)
+                within[sid] = k + 1
+                d.append(doc_id)
+                si.append(sid)
+                ti.append(k)
+                pos_c.append(pos[i])
+                np_c.append(nps[i])
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.string()),
+                "sent_id": pa.array(si, pa.int64()),
+                "tok_idx": pa.array(ti, pa.int64()),
+                "pos_tag": pa.array(pos_c, pa.string()),
+                "np_tag": pa.array(np_c, pa.string()),
+            }
+        )
+
+    return ray.data.from_arrow(sentence_docs_table(sf_dir)).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
 def _q_doc_sentences(sf_dir: str):
     """Slot-2 sentence segmentation over the 3-sentence order-template
     corpus (fixtures.sentence_docs_table): per sentence — token count and
@@ -478,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_regex_priority": _q_kg_regex_priority,
         "doc_tokens": _q_doc_tokens,
         "doc_sentences": _q_doc_sentences,
+        "doc_pos_np": _q_doc_pos_np,
         "kb_resources": views.kb_resources,
         "kb_cardinalities": views.kb_cardinalities,
         "kb_markov": views.kb_markov,

@@ -466,6 +466,33 @@ SELECT 'doc-sent-' || doc AS doc_id, sid::BIGINT AS sent_id,
 FROM pos
 """
 
+# doc_pos_np (slots 3-4): the heuristic POS tagger + NP chunker assign a
+# CONSTANT (pos, np) tag per token position of the order template — the
+# rules are word-shape-based and every template instance has the same
+# 21-token shape sequence (verified at sf0.001/0.01/0.1; digit widths
+# don't change shapes).  Oracle = the constant sequence × every sentence.
+ORACLES["doc_pos_np"] = """
+WITH sents AS (
+  SELECT 'doc-sent-' || ((row_number() OVER (ORDER BY o_orderkey) - 1) // 3)
+           AS doc_id,
+         ((row_number() OVER (ORDER BY o_orderkey) - 1) % 3) AS sent_id
+  FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 600)
+),
+tags AS (
+  SELECT * FROM (VALUES
+    (0, 'NNP', 'B-NP'), (1, 'CD', 'I-NP'), (2, 'VBD', 'O'),
+    (3, 'CD', 'B-NP'), (4, '.', 'O'), (5, 'CD', 'B-NP'), (6, '.', 'O'),
+    (7, 'CD', 'B-NP'), (8, 'JJ', 'I-NP'), (9, 'CD', 'I-NP'), (10, '.', 'O'),
+    (11, 'CD', 'B-NP'), (12, 'NN', 'I-NP'), (13, 'NN', 'I-NP'), (14, '.', 'O'),
+    (15, 'NN', 'B-NP'), (16, '.', 'O'), (17, 'NN', 'B-NP'),
+    (18, 'NNS', 'I-NP'), (19, 'CD', 'I-NP'), (20, '.', 'O')
+  ) AS t(tok_idx, pos_tag, np_tag)
+)
+SELECT s.doc_id, s.sent_id::BIGINT AS sent_id, t.tok_idx::BIGINT AS tok_idx,
+       t.pos_tag, t.np_tag
+FROM sents s, tags t
+"""
+
 ORACLES["dedup_exact"] = f"""
 SELECT doc_id FROM documents
 QUALIFY row_number() OVER (PARTITION BY {_NORM} ORDER BY doc_id) = 1
