@@ -529,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sentences": _q_doc_sentences,
         "doc_pos_np": _q_doc_pos_np,
         "kb_resources": views.kb_resources,
+        "kb_coverage": views.kb_coverage,
         "kb_cardinalities": views.kb_cardinalities,
         "kb_markov": views.kb_markov,
         "kb_parse_turtle": _q_kb_parse_turtle,

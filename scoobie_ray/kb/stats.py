@@ -61,8 +61,12 @@ def regex_distributions(
     )
 
 
-def coverage_ambiguity(bundle: KBBundle) -> pa.Table:
-    """(type, predicate, coverage, ambiguity) per type/datatype-property."""
+def coverage_ambiguity_counts(bundle: KBBundle) -> pa.Table:
+    """Integer-exact coverage/ambiguity statistics per (type, datatype
+    property): covered instances, total instances, Σ literal ambiguity
+    over symbol rows, symbol-row count.  The hashable (no-float) form —
+    the ``kb_coverage`` oracle checks this table; :func:`coverage_ambiguity`
+    derives its ratios from it."""
     sym = bundle.symbols
     types = bundle.types
     type_of: dict[int, list[int]] = {}
@@ -80,7 +84,7 @@ def coverage_ambiguity(bundle: KBBundle) -> pa.Table:
 
     # per (type, predicate): covered instances + literal ambiguity sum/count
     cov: dict[tuple[int, int], set[int]] = {}
-    amb_sum: dict[tuple[int, int], float] = {}
+    amb_sum: dict[tuple[int, int], int] = {}
     amb_n: dict[tuple[int, int], int] = {}
     for s, p, o in zip(
         sym["subject"].to_pylist(),
@@ -90,7 +94,7 @@ def coverage_ambiguity(bundle: KBBundle) -> pa.Table:
         for t in type_of.get(s, ()):
             key = (t, p)
             cov.setdefault(key, set()).add(s)
-            amb_sum[key] = amb_sum.get(key, 0.0) + len(lit_subjects[o])
+            amb_sum[key] = amb_sum.get(key, 0) + len(lit_subjects[o])
             amb_n[key] = amb_n.get(key, 0) + 1
 
     rows = sorted(cov)
@@ -98,13 +102,34 @@ def coverage_ambiguity(bundle: KBBundle) -> pa.Table:
         {
             "type": pa.array([t for t, _ in rows], pa.int64()),
             "predicate": pa.array([p for _, p in rows], pa.int64()),
+            "covered": pa.array([len(cov[k]) for k in rows], pa.int64()),
+            "instances": pa.array(
+                [n_instances.get(k[0], 0) for k in rows], pa.int64()
+            ),
+            "amb_sum": pa.array([amb_sum[k] for k in rows], pa.int64()),
+            "amb_n": pa.array([amb_n[k] for k in rows], pa.int64()),
+        }
+    )
+
+
+def coverage_ambiguity(bundle: KBBundle) -> pa.Table:
+    """(type, predicate, coverage, ambiguity) per type/datatype-property —
+    ratio view over :func:`coverage_ambiguity_counts`."""
+    c = coverage_ambiguity_counts(bundle)
+    covered = c["covered"].to_numpy(zero_copy_only=False)
+    instances = c["instances"].to_numpy(zero_copy_only=False)
+    amb_sum = c["amb_sum"].to_numpy(zero_copy_only=False)
+    amb_n = c["amb_n"].to_numpy(zero_copy_only=False)
+    import numpy as np
+
+    return pa.table(
+        {
+            "type": c["type"],
+            "predicate": c["predicate"],
             "coverage": pa.array(
-                [len(cov[k]) / max(1, n_instances.get(k[0], 1)) for k in rows],
-                pa.float64(),
+                covered / np.maximum(instances, 1), pa.float64()
             ),
-            "ambiguity": pa.array(
-                [amb_sum[k] / max(1, amb_n[k]) for k in rows], pa.float64()
-            ),
+            "ambiguity": pa.array(amb_sum / np.maximum(amb_n, 1), pa.float64()),
         }
     )
 

@@ -321,6 +321,26 @@ ORACLES["kb_resources"] = (
     ") SELECT CAST(row_number() OVER (ORDER BY uri) - 1 AS BIGINT) AS idx, uri FROM uris"
 )
 
+# kb_coverage: the stats layer's getCoverageAmbiguity re-derived from the
+# relational fixture (integer counts; ambiguity of a literal = #distinct
+# subjects sharing it KB-wide, the only datatype property is rdfs:label)
+ORACLES["kb_coverage"] = (
+    f"WITH {LABELS.lstrip()}, "
+    """
+dl AS (SELECT DISTINCT uri, label, cls FROM labels),
+amb AS (SELECT label, count(DISTINCT uri) AS n FROM dl GROUP BY label),
+inst AS (SELECT cls, count(DISTINCT uri) AS n_inst FROM dl GROUP BY cls)
+SELECT dl.cls AS type_uri,
+       'http://www.w3.org/2000/01/rdf-schema#label' AS pred_uri,
+       count(DISTINCT dl.uri)::BIGINT AS covered,
+       max(i.n_inst)::BIGINT AS instances,
+       sum(a.n)::BIGINT AS amb_sum,
+       count(*)::BIGINT AS amb_n
+FROM dl JOIN amb a ON a.label = dl.label JOIN inst i ON i.cls = dl.cls
+GROUP BY dl.cls
+"""
+)
+
 ORACLES["kb_cardinalities"] = """
 WITH rel AS (
   SELECT 'http://example.org/ont/locatedIn' AS pred,

@@ -296,6 +296,36 @@ def kg_spans(sf_dir: str):
     )
 
 
+def kb_coverage(sf_dir: str) -> pa.Table:
+    """Integer-exact coverage/ambiguity stats per (type, datatype
+    property) — the kb/stats layer's oracle surface (counts, not float
+    ratios, so the hash compare is portable)."""
+    from ..kb.stats import coverage_ambiguity_counts
+
+    kb = kg_kb(sf_dir)
+    c = coverage_ambiguity_counts(kb)
+    uri_of = dict(
+        zip(
+            pc.cast(kb.resources["index"], pa.int64()).to_pylist(),
+            kb.resources["uri"].to_pylist(),
+        )
+    )
+    return pa.table(
+        {
+            "type_uri": pa.array(
+                [uri_of[t] for t in c["type"].to_pylist()], pa.string()
+            ),
+            "pred_uri": pa.array(
+                [uri_of[p] for p in c["predicate"].to_pylist()], pa.string()
+            ),
+            "covered": c["covered"],
+            "instances": c["instances"],
+            "amb_sum": c["amb_sum"],
+            "amb_n": c["amb_n"],
+        }
+    )
+
+
 def kb_resources(sf_dir: str) -> pa.Table:
     kb = kg_kb(sf_dir)
     return pa.table(
