@@ -530,6 +530,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pos_np": _q_doc_pos_np,
         "kb_resources": views.kb_resources,
         "kb_coverage": views.kb_coverage,
+        "kb_docfreq": views.kb_docfreq,
+        "kb_property_kinds": views.kb_property_kinds,
         "kb_cardinalities": views.kb_cardinalities,
         "kb_markov": views.kb_markov,
         "kb_parse_turtle": _q_kb_parse_turtle,

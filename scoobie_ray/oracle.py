@@ -341,6 +341,27 @@ GROUP BY dl.cls
 """
 )
 
+# kb_docfreq: distinct-doc count per spotted literal — rides the same
+# SPOT re-derivation the kg_spot hash gate proves exact (boundary +
+# longest-match + case semantics included)
+ORACLES["kb_docfreq"] = (
+    f"{_KG_PREFIX}, {MENTIONS}, {SPOT} "
+    "SELECT literal, count(DISTINCT doc_id)::BIGINT AS df FROM spot GROUP BY literal"
+)
+
+# kb_property_kinds: the fixture KB has exactly one datatype property
+# (rdfs:label), three object properties, and rdf:type edges (object) —
+# fixtures.py derivation spec
+ORACLES["kb_property_kinds"] = """
+SELECT * FROM (VALUES
+  ('http://example.org/ont/basedIn', 'object'),
+  ('http://example.org/ont/locatedIn', 'object'),
+  ('http://example.org/ont/operatesIn', 'object'),
+  ('http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'object'),
+  ('http://www.w3.org/2000/01/rdf-schema#label', 'datatype')
+) AS t(pred_uri, kind)
+"""
+
 ORACLES["kb_cardinalities"] = """
 WITH rel AS (
   SELECT 'http://example.org/ont/locatedIn' AS pred,

@@ -326,6 +326,51 @@ def kb_coverage(sf_dir: str) -> pa.Table:
     )
 
 
+def kb_docfreq(sf_dir: str):
+    """Document frequency per KB literal (the Lucene-DF stand-in),
+    computed DISTRIBUTED: spot every doc against the broadcast KB, count
+    distinct docs per literal.  Oracle = count per literal over the same
+    SPOT re-derivation the kg_spot hash gate rides on."""
+    from ..kb.stats import document_frequency
+
+    kb, kb_ref = _kb_and_ref(sf_dir)
+    t = document_frequency(
+        _docs_ds(sf_dir), kb_ref, concurrency=autoscale_concurrency(cap=8)
+    )
+    lits = kb.literals["literal"].to_pylist()
+    return pa.table(
+        {
+            "literal": pa.array(
+                [lits[i] for i in t["literal"].to_pylist()], pa.string()
+            ),
+            "df": pc.cast(t["df"], pa.int64()),
+        }
+    )
+
+
+def kb_property_kinds(sf_dir: str) -> pa.Table:
+    """Per-predicate kind (datatype | object | both) —
+    PostgresKB.getPropertyType over the fixture KB."""
+    from ..kb.stats import property_kinds
+
+    kb = kg_kb(sf_dir)
+    t = property_kinds(kb)
+    uri_of = dict(
+        zip(
+            pc.cast(kb.resources["index"], pa.int64()).to_pylist(),
+            kb.resources["uri"].to_pylist(),
+        )
+    )
+    return pa.table(
+        {
+            "pred_uri": pa.array(
+                [uri_of[p] for p in t["predicate"].to_pylist()], pa.string()
+            ),
+            "kind": t["kind"],
+        }
+    )
+
+
 def kb_resources(sf_dir: str) -> pa.Table:
     kb = kg_kb(sf_dir)
     return pa.table(
