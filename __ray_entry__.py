@@ -532,6 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kb_coverage": views.kb_coverage,
         "kb_docfreq": views.kb_docfreq,
         "kb_property_kinds": views.kb_property_kinds,
+        "kb_regex_dist": views.kb_regex_dist,
         "kb_cardinalities": views.kb_cardinalities,
         "kb_markov": views.kb_markov,
         "kb_parse_turtle": _q_kb_parse_turtle,

@@ -29,15 +29,15 @@ import pyarrow as pa
 from .bundle import KBBundle
 
 
-def regex_distributions(
-    bundle: KBBundle, patterns: dict[str, str], threshold: float = 0.9
-) -> pa.Table:
-    """(regex_name, predicate, ratio) rows with ratio > threshold."""
+def regex_match_counts(bundle: KBBundle, patterns: dict[str, str]) -> pa.Table:
+    """(regex_name, predicate, n_match, n_total) per pattern × datatype
+    property — integer-exact (the hashable gate surface;
+    :func:`regex_distributions` derives its ratios from it)."""
     sym = bundle.symbols
     lits = bundle.literals["literal"].to_pylist()
     preds = sym["predicate"].to_numpy(zero_copy_only=False)
     objs = sym["object"].to_numpy(zero_copy_only=False)
-    out_name, out_pred, out_ratio = [], [], []
+    out_name, out_pred, out_match, out_total = [], [], [], []
     for name, rx in patterns.items():
         compiled = re.compile(rx)
         match_flags = np.fromiter(
@@ -47,11 +47,38 @@ def regex_distributions(
         )
         for p in np.unique(preds):
             mask = preds == p
-            ratio = float(match_flags[mask].mean()) if mask.any() else 0.0
-            if ratio > threshold:
-                out_name.append(name)
-                out_pred.append(int(p))
-                out_ratio.append(ratio)
+            out_name.append(name)
+            out_pred.append(int(p))
+            out_match.append(int(match_flags[mask].sum()))
+            out_total.append(int(mask.sum()))
+    return pa.table(
+        {
+            "regex_name": pa.array(out_name, pa.string()),
+            "predicate": pa.array(out_pred, pa.int64()),
+            "n_match": pa.array(out_match, pa.int64()),
+            "n_total": pa.array(out_total, pa.int64()),
+        }
+    )
+
+
+def regex_distributions(
+    bundle: KBBundle, patterns: dict[str, str], threshold: float = 0.9
+) -> pa.Table:
+    """(regex_name, predicate, ratio) rows with ratio > threshold —
+    ratio view over :func:`regex_match_counts`."""
+    c = regex_match_counts(bundle, patterns)
+    out_name, out_pred, out_ratio = [], [], []
+    for name, p, n_match, n_total in zip(
+        c["regex_name"].to_pylist(),
+        c["predicate"].to_pylist(),
+        c["n_match"].to_pylist(),
+        c["n_total"].to_pylist(),
+    ):
+        ratio = n_match / n_total if n_total else 0.0
+        if ratio > threshold:
+            out_name.append(name)
+            out_pred.append(p)
+            out_ratio.append(ratio)
     return pa.table(
         {
             "regex_name": pa.array(out_name, pa.string()),

@@ -362,6 +362,30 @@ SELECT * FROM (VALUES
 ) AS t(pred_uri, kind)
 """
 
+# kb_regex_dist: full-match counts of the slot-7 pattern set over the KB
+# literal table (distinct (uri, label) = the symbol rows).  Patterns are
+# RE2-compatible and labels ASCII, so DuckDB regexp_full_match equals
+# Python re.fullmatch.
+ORACLES["kb_regex_dist"] = (
+    f"WITH {LABELS.lstrip()}, "
+    r"""
+dl AS (SELECT DISTINCT uri, label FROM labels),
+pat AS (SELECT * FROM (VALUES
+  ('DATE', '\b\d{1,4}[-/.]\d{1,2}[-/.]\d{1,4}\b'),
+  ('FLOAT', '-?\b\d+\.\d+\b'),
+  ('INTEGER', '-?\b\d+\b'),
+  ('MAIL', '\b[\w.+-]+@[\w-]+\.[\w.-]+\b')
+) AS p(name, rx))
+SELECT pat.name AS regex_name,
+       'http://www.w3.org/2000/01/rdf-schema#label' AS pred_uri,
+       sum(CASE WHEN regexp_full_match(dl.label, pat.rx) THEN 1 ELSE 0 END)::BIGINT
+         AS n_match,
+       count(*)::BIGINT AS n_total
+FROM dl, pat
+GROUP BY pat.name
+"""
+)
+
 ORACLES["kb_cardinalities"] = """
 WITH rel AS (
   SELECT 'http://example.org/ont/locatedIn' AS pred,

@@ -371,6 +371,33 @@ def kb_property_kinds(sf_dir: str) -> pa.Table:
     )
 
 
+def kb_regex_dist(sf_dir: str) -> pa.Table:
+    """Regex-distribution counts per (pattern, datatype property) —
+    calculateRegexDistributions' gate surface in integer-exact form."""
+    from ..kb.stats import regex_match_counts
+    from ..stages.regex_recognize import DEFAULT_PATTERNS
+
+    kb = kg_kb(sf_dir)
+    pats = {k: DEFAULT_PATTERNS[k] for k in ("DATE", "FLOAT", "MAIL", "INTEGER")}
+    t = regex_match_counts(kb, pats)
+    uri_of = dict(
+        zip(
+            pc.cast(kb.resources["index"], pa.int64()).to_pylist(),
+            kb.resources["uri"].to_pylist(),
+        )
+    )
+    return pa.table(
+        {
+            "regex_name": t["regex_name"],
+            "pred_uri": pa.array(
+                [uri_of[p] for p in t["predicate"].to_pylist()], pa.string()
+            ),
+            "n_match": t["n_match"],
+            "n_total": t["n_total"],
+        }
+    )
+
+
 def kb_resources(sf_dir: str) -> pa.Table:
     kb = kg_kb(sf_dir)
     return pa.table(
