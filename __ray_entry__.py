@@ -213,6 +213,39 @@ def _q_knn_ivf_recall(sf_dir: str):
     return _q_knn_recall(sf_dir, "ivf")
 
 
+def _q_media_decode(sf_dir: str):
+    """REAL binary image decoding through the actor-pool stage: PPM
+    payloads derived deterministically from part (fixtures.
+    media_docs_table), decoded by DecodeImage (dims from the header),
+    pixel sums re-read via the codec — all arithmetic in the oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from scoobie_ray.ops.multimodal import DecodeImage, decode_image
+    from scoobie_ray.sources.fixtures import media_docs_table
+    from scoobie_ray.util import autoscale_concurrency
+
+    ds = ray.data.from_arrow(media_docs_table(sf_dir)).map_batches(
+        DecodeImage,
+        batch_format="pyarrow",
+        concurrency=autoscale_concurrency(cap=4),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        sums = [int(decode_image(p).sum()) for p in t["payload"].to_pylist()]
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "width": pc.cast(t["width"], pa.int64()),
+                "height": pc.cast(t["height"], pa.int64()),
+                "pix_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(finalize, batch_format="pyarrow")
+
+
 def _q_kg_media(sf_dir: str):
     """Media spans exploded from the interleaved docs (the multimodal
     plumbing surface)."""
@@ -523,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": views.kg_triples,
         "kg_spans": views.kg_spans,
         "kg_media": _q_kg_media,
+        "media_decode": _q_media_decode,
         "kg_regex": _q_kg_regex,
         "kg_regex_priority": _q_kg_regex_priority,
         "doc_tokens": _q_doc_tokens,

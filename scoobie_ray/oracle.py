@@ -386,6 +386,25 @@ GROUP BY pat.name
 """
 )
 
+# media_decode: real binary-PPM decode through the actor pool — the
+# fixture images' dims and pixel sums are closed-form over p_partkey
+# (fixtures.media_docs_table; all three channels = (x + 3y + k) % 256)
+ORACLES["media_decode"] = """
+WITH parts AS (
+  SELECT p_partkey AS k, 4 + p_partkey % 13 AS w, 3 + p_partkey % 7 AS h
+  FROM (SELECT p_partkey FROM part ORDER BY p_partkey LIMIT 200)
+),
+xy AS (
+  SELECT a.i AS x, b.j AS y
+  FROM generate_series(0, 16) a(i), generate_series(0, 9) b(j)
+)
+SELECT 'media-' || k AS media_id, w::BIGINT AS width, h::BIGINT AS height,
+       sum(3 * ((x + 3*y + k) % 256))::BIGINT AS pix_sum
+FROM parts, xy
+WHERE xy.x < parts.w AND xy.y < parts.h
+GROUP BY k, w, h
+"""
+
 ORACLES["kb_cardinalities"] = """
 WITH rel AS (
   SELECT 'http://example.org/ont/locatedIn' AS pred,

@@ -241,6 +241,38 @@ def sentence_docs_table(sf_dir: str, limit: int = 600) -> pa.Table:
     )
 
 
+def media_docs_table(sf_dir: str, limit: int = 200) -> pa.Table:
+    """Deterministic BINARY media corpus for the multimodal decode oracle
+    (media_decode): part p (first ``limit`` by p_partkey) yields a real
+    binary-PPM image of (w, h) = (4 + p%13, 3 + p%7) whose three channels
+    all equal (x + 3·y + p) % 256 — dims and pixel sums are pure
+    arithmetic, mirrored in SQL by ``oracle.ORACLES["media_decode"]``.
+    Change BOTH or neither.  width/height ship as 0 placeholders so
+    ``DecodeImage`` overwrites them from the decoded header."""
+    import numpy as np
+
+    from ..ops.multimodal import encode_ppm
+
+    parts = _read(sf_dir, "part", ["p_partkey"]).sort_by("p_partkey").slice(0, limit)
+    ids, payloads = [], []
+    for k in parts["p_partkey"].to_pylist():
+        w, h = 4 + k % 13, 3 + k % 7
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        v = ((x + 3 * y + k) % 256).astype(np.uint8)
+        ids.append("media-%d" % k)
+        payloads.append(encode_ppm(np.repeat(v[:, :, None], 3, axis=2)))
+    n = len(ids)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([0] * n, pa.int32()),
+            "height": pa.array([0] * n, pa.int32()),
+        }
+    )
+
+
 def kg_bench_docs_table(
     sf_dir: str, sentences_per_doc: int = 20, variant: int = 0
 ) -> pa.Table:
