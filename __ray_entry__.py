@@ -246,6 +246,46 @@ def _q_media_decode(sf_dir: str):
     return ds.map_batches(finalize, batch_format="pyarrow")
 
 
+def _q_audio_decode(sf_dir: str):
+    """REAL WAV PCM16 decoding through the actor-pool stage: payloads
+    derived deterministically from part (fixtures.audio_docs_table),
+    features extracted by ExtractAudioFeatures (real RMS/ZCR path — the
+    stage raises on undecodable input, so a green row proves the codec
+    ran), integer sample count / rate / amplitude sum checked against
+    arithmetic.  decode_wav's /32768 is a power-of-two scale, so the
+    re-multiplied amplitudes are exact integers."""
+    import pyarrow as pa
+    import ray.data
+
+    from scoobie_ray.ops.multimodal import ExtractAudioFeatures, decode_wav
+    from scoobie_ray.sources.fixtures import audio_docs_table
+    from scoobie_ray.util import autoscale_concurrency
+
+    ds = ray.data.from_arrow(audio_docs_table(sf_dir)).map_batches(
+        ExtractAudioFeatures,
+        batch_format="pyarrow",
+        concurrency=autoscale_concurrency(cap=4),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        ns, rates, sums = [], [], []
+        for p in t["payload"].to_pylist():
+            samples, rate = decode_wav(p)
+            ns.append(len(samples))
+            rates.append(rate)
+            sums.append(int(round(float((samples * 32768.0).sum()))))
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "n_samples": pa.array(ns, pa.int64()),
+                "rate": pa.array(rates, pa.int64()),
+                "amp_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(finalize, batch_format="pyarrow")
+
+
 def _q_kg_media(sf_dir: str):
     """Media spans exploded from the interleaved docs (the multimodal
     plumbing surface)."""
@@ -557,6 +597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_spans": views.kg_spans,
         "kg_media": _q_kg_media,
         "media_decode": _q_media_decode,
+        "audio_decode": _q_audio_decode,
         "kg_regex": _q_kg_regex,
         "kg_regex_priority": _q_kg_regex_priority,
         "doc_tokens": _q_doc_tokens,

@@ -405,6 +405,23 @@ WHERE xy.x < parts.w AND xy.y < parts.h
 GROUP BY k, w, h
 """
 
+# audio_decode: WAV PCM16 decode — fixture sample values are
+# ((i*37 + k*101) % 4001) - 2000 over i < 64 + k%129 (fixtures.
+# audio_docs_table), so counts/rates/amplitude sums are arithmetic
+ORACLES["audio_decode"] = """
+WITH parts AS (
+  SELECT p_partkey AS k, 64 + p_partkey % 129 AS n,
+         8000 + (p_partkey % 5) * 1000 AS rate
+  FROM (SELECT p_partkey FROM part ORDER BY p_partkey LIMIT 200)
+),
+ix AS (SELECT i FROM generate_series(0, 192) t(i))
+SELECT 'audio-' || k AS media_id, n::BIGINT AS n_samples, rate::BIGINT AS rate,
+       sum(((ix.i * 37 + k * 101) % 4001) - 2000)::BIGINT AS amp_sum
+FROM parts, ix
+WHERE ix.i < parts.n
+GROUP BY k, n, rate
+"""
+
 ORACLES["kb_cardinalities"] = """
 WITH rel AS (
   SELECT 'http://example.org/ont/locatedIn' AS pred,

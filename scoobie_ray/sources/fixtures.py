@@ -273,6 +273,41 @@ def media_docs_table(sf_dir: str, limit: int = 200) -> pa.Table:
     )
 
 
+def audio_docs_table(sf_dir: str, limit: int = 200) -> pa.Table:
+    """Deterministic RIFF/WAV PCM16 corpus for the audio decode oracle
+    (audio_decode): part p gives a mono clip of n = 64 + p%129 samples at
+    rate 8000 + (p%5)·1000 with sample(i) = ((i·37 + p·101) % 4001) −
+    2000 — counts, rates and amplitude sums are pure arithmetic, mirrored
+    in SQL by ``oracle.ORACLES["audio_decode"]``.  Change BOTH or
+    neither."""
+    import io
+    import wave
+
+    import numpy as np
+
+    parts = _read(sf_dir, "part", ["p_partkey"]).sort_by("p_partkey").slice(0, limit)
+    ids, payloads = [], []
+    for k in parts["p_partkey"].to_pylist():
+        n = 64 + k % 129
+        rate = 8000 + (k % 5) * 1000
+        i = np.arange(n)
+        samples = (((i * 37 + k * 101) % 4001) - 2000).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(samples.tobytes())
+        ids.append("audio-%d" % k)
+        payloads.append(buf.getvalue())
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
 def kg_bench_docs_table(
     sf_dir: str, sentences_per_doc: int = 20, variant: int = 0
 ) -> pa.Table:
