@@ -361,3 +361,33 @@ def test_ngram_langid_classifier():
     out = c(batch)
     assert out["lang_pred"].to_pylist() == list(held_out.keys())
     assert c.identify("") == "en"  # default like the reference
+
+
+def test_dot_writer_shapes():
+    """DotWriter port (util/DotWriter.java:38-90): header/preamble, one
+    label line per labeled vertex, one edge line per edge, closing brace;
+    the document view renders resolved entities + the KB edges among
+    them."""
+    from scoobie_ray.stages.dot import document_graph_dot, write_dot
+
+    txt = write_dot(
+        [("1", "Alpha"), ("2", None), ("3", "Gamma")],
+        [("1", "3", "rel"), ("3", "2", "other")],
+    )
+    lines = txt.strip().splitlines()
+    assert lines[0] == "digraph {"
+    assert lines[1] == 'size="70,70";'
+    assert lines[2] == 'graph [fontsize=8, ssize = "70,140"];'
+    assert '1[label="Alpha"];' in lines and '3[label="Gamma"];' in lines
+    assert not any(l.startswith("2[") for l in lines)  # unlabeled vertex
+    assert '1->3[label="rel"];' in lines and lines[-1] == "}"
+    assert "--" in write_dot([("a", "A")], [("a", "a", "x")], directed=False)
+
+    kb = KBIndex(kg_kb("/root/testdata/sf0.001"))
+    # a supplier and the nation it operates in -> one operatesIn edge
+    supp = kb.uri_index("http://example.org/supplier/1")
+    preds, objs = kb.outgoing_nontype(supp)
+    nation = int(objs[0])
+    dot = document_graph_dot(kb, [supp, nation])
+    assert 'label="operatesIn"' in dot
+    assert "%s->%s" % (supp, nation) in dot
