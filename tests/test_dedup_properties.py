@@ -249,3 +249,31 @@ def test_attach_verify_path_string_ids(ray_session):
     surv = sorted(r["doc_id"] for r in out.take_all())
     assert surv == [f"doc-{i:03d}" for i in range(0, 40, 2)]
     assert all(isinstance(s, str) for s in surv)
+
+
+def test_distributed_resolution_string_ids(ray_session):
+    """Distributed CC + co-partitioned anti-join with STRING ids (label
+    min is lexicographic; hash partitioning via the Arrow string hash)."""
+    import pyarrow as pa
+    import ray.data
+
+    from scoobie_ray.ops.dedup import minhash_dedup
+
+    ids, texts = [], []
+    for c in range(12):
+        t = " ".join("tok%d" % (c * 211 + i * 23) for i in range(25))
+        for j in range(4):
+            ids.append(f"d{c:02d}-{j}")
+            texts.append(t)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.string()), "text": pa.array(texts, pa.string())})
+    )
+    expected = sorted(
+        r["doc_id"] for r in minhash_dedup(ds, threshold=0.8).take_all()
+    )
+    assert expected == [f"d{c:02d}-0" for c in range(12)]
+    forced = sorted(
+        r["doc_id"]
+        for r in minhash_dedup(ds, threshold=0.8, broadcast_resolve_limit=0).take_all()
+    )
+    assert forced == expected
