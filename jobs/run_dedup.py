@@ -32,6 +32,15 @@ def main(argv=None) -> int:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--num-cpus", type=int, default=0, help="only for local runs")
+    ap.add_argument(
+        "--resolve-limit",
+        type=int,
+        default=2_000_000,
+        help="verified-pair count above which cluster resolution stays "
+        "fully distributed (hash-min connected components + co-partitioned "
+        "anti-join) instead of driver union-find + broadcast; set 0 to "
+        "force the distributed path (high-dup-rate crawls)",
+    )
     args = ap.parse_args(argv)
 
     import ray
@@ -49,14 +58,15 @@ def main(argv=None) -> int:
     n_in = ds.count()
     t0 = time.time()
     kw = {"text_col": args.text_col, "id_col": args.id_col}
+    rkw = {"broadcast_resolve_limit": args.resolve_limit}
     if args.method == "exact":
         out = dedup.exact_dedup(ds, **kw)
     elif args.method == "minhash":
-        out = dedup.minhash_dedup(ds, threshold=args.threshold, **kw)
+        out = dedup.minhash_dedup(ds, threshold=args.threshold, **kw, **rkw)
     elif args.method == "simhash":
-        out = dedup.simhash_dedup(ds, max_hamming=args.max_hamming, **kw)
+        out = dedup.simhash_dedup(ds, max_hamming=args.max_hamming, **kw, **rkw)
     else:
-        out = dedup.ngram_dedup(ds, threshold=args.threshold, **kw)
+        out = dedup.ngram_dedup(ds, threshold=args.threshold, **kw, **rkw)
     out.write_parquet(args.out)
 
     import pyarrow.parquet as pq
