@@ -61,6 +61,15 @@ def _q_dedup_ngram(sf_dir: str):
     return ngram_dedup(_documents(sf_dir), threshold=0.5).select_columns(["doc_id"])
 
 
+def _q_curate(sf_dir: str):
+    """Composed curation flagship: quality filter -> langid filter ->
+    exact dedup -> minhash near-dedup, one streaming pipeline
+    (pipelines/curate.py), oracle-gated end to end."""
+    from scoobie_ray.pipelines.curate import curate
+
+    return curate(_documents(sf_dir)).select_columns(["doc_id"])
+
+
 def _q_fingerprint(sf_dir: str):
     from scoobie_ray.ops.text import fingerprint_batch
 
@@ -627,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_recall": _q_knn_lsh_recall,
         "knn_ivf_recall": _q_knn_ivf_recall,
         "dedup_embedding": _q_dedup_embedding,
+        "curate": _q_curate,
         "np_chunks": _q_np_chunks,
         "kg_rated": _q_kg_rated,
         # --- relational surface ---

@@ -629,11 +629,11 @@ SELECT query_id, vec_id, rank FROM (
   FROM scored) WHERE rank < 5
 """
 
-def _langid_oracle() -> str:
-    """SQL replica of ops.text.LangId generated from the SAME stopword
-    profiles (single source of truth): per-doc stopword votes per
-    language, argmax with ties preferring the engine's language order,
-    default 'en'."""
+def _langid_cte() -> str:
+    """Reusable CTE chain (ending in ``pred(doc_id, lang_pred)``)
+    replicating ops.text.LangId from the SAME stopword profiles (single
+    source of truth): per-doc stopword votes per language, argmax with
+    ties preferring the engine's language order, default 'en'."""
     from .ops.text import STOPWORDS
 
     langs = ("en", "es", "de", "fr")
@@ -642,8 +642,7 @@ def _langid_oracle() -> str:
         for w in sorted(STOPWORDS[lang]):
             rows.append(f"('{lang}', '{w}', {ord_})")
     values = ",\n    ".join(rows)
-    return f"""
-WITH words AS (
+    return f"""words AS (
   SELECT doc_id,
          unnest(regexp_extract_all(lower(text), '[a-zäöüéèáíóú]+')) AS w
   FROM documents
@@ -658,11 +657,15 @@ WITH words AS (
   SELECT doc_id, lang,
          row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, ord) AS rk
   FROM votes
-)
-SELECT doc.doc_id, coalesce(b.lang, 'en') AS lang_pred
-FROM documents doc
-LEFT JOIN best b ON b.doc_id = doc.doc_id AND b.rk = 1
-"""
+), pred AS (
+  SELECT doc.doc_id, coalesce(b.lang, 'en') AS lang_pred
+  FROM documents doc
+  LEFT JOIN best b ON b.doc_id = doc.doc_id AND b.rk = 1
+)"""
+
+
+def _langid_oracle() -> str:
+    return f"WITH {_langid_cte()} SELECT doc_id, lang_pred FROM pred"
 
 
 # ANN recall gates: the fixture embeddings + probe configs (LSH n_bits=4/
@@ -850,11 +853,11 @@ SELECT s, p, o, o_is_literal FROM t
 #    shingles with substr() over CHARACTERS.  Identical only while fixture
 #    document texts are pure ASCII.
 
-ORACLES["dedup_minhash"] = r"""
-WITH RECURSIVE norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-  FROM documents
-),
+# shared all-pairs minhash re-derivation chain; the caller supplies the
+# ``norm(doc_id, t)`` CTE (full corpus for dedup_minhash, the filtered
+# subset for curate — exact-dup removal before near-dedup is provably a
+# no-op for components, identical texts share every neighbor)
+_MINHASH_CHAIN = r"""
 idx AS (SELECT i FROM generate_series(1, 4096) g(i)),
 sh AS (  -- distinct 5-char shingles (engine: ops/dedup.py char_shingles)
   SELECT DISTINCT n.doc_id, substr(n.t, CAST(idx.i AS INTEGER), 5) AS s
@@ -877,8 +880,38 @@ reach(a, b) AS (
   UNION
   SELECT r.a, e.b FROM reach r JOIN edges2 e ON e.a = r.b
 )
-SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) = a
-"""
+SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) = a"""
+
+ORACLES["dedup_minhash"] = r"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),""" + _MINHASH_CHAIN
+
+# curate: the composed training-data curation pipeline — quality filter
+# (n_tokens >= 30, punctuation bound) ∩ langid == 'en' ∩ exact+minhash
+# dedup over the SURVIVING subset (min-id per near-dup component)
+ORACLES["curate"] = (
+    "WITH RECURSIVE "
+    + _langid_cte()
+    + r""",
+q AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
+  FROM documents
+),
+kept AS (
+  SELECT q.doc_id FROM q JOIN pred p ON p.doc_id = q.doc_id
+  WHERE q.n_tokens >= 30 AND q.n_punct * 2 <= greatest(1, q.n_tokens)
+    AND p.lang_pred = 'en'
+),
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM kept)
+),"""
+    + _MINHASH_CHAIN
+)
 
 ORACLES["dedup_ngram"] = r"""
 WITH RECURSIVE norm AS (

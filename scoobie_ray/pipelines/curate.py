@@ -1,0 +1,72 @@
+"""Training-data curation — the composed flagship of the ops layer.
+
+One streaming pipeline chaining the operations a 100-TB pre-training
+corpus pass actually runs:
+
+1. **quality filter** — token count and punctuation bounds
+   (``ops.text.quality_flags_batch`` rules), computed and applied inside
+   a single vectorized ``map_batches`` so rejected rows never leave the
+   batch;
+2. **language filter** — stopword-profile LangId (slot-0 semantics),
+   fused into the same stage;
+3. **exact dedup** — hash-partitioned min-id winners
+   (``ops.dedup.exact_dedup``);
+4. **near dedup** — MinHash+LSH with distributed verification and
+   (past ``broadcast_resolve_limit``) distributed connected components
+   (``ops.dedup.minhash_dedup``).
+
+Every stage streams: nothing materializes between steps except the tiny
+candidate-pair tables inside minhash.  The ``curate`` driver query is
+oracle-gated end to end (oracle.py ORACLES["curate"]: quality ∩ langid ∩
+all-pairs-Jaccard components over the surviving subset — exact-dup
+removal before near-dedup provably does not change components, since
+identical texts share every neighbor).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def curate(
+    ds,
+    lang: str = "en",
+    min_tokens: int = 30,
+    minhash_threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_resolve_limit: int = 2_000_000,
+):
+    """documents Dataset -> curated Dataset (same columns, surviving rows:
+    quality-passing, ``lang``-classified, exact- and near-dedup winners)."""
+    from ..ops.dedup import exact_dedup, minhash_dedup
+    from ..ops.text import _PUNCT_RE, _TOKEN_RE, LangId
+
+    langid = LangId()
+
+    def keep(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        mask = []
+        for t in texts:
+            t = t or ""
+            nt = len(_TOKEN_RE.findall(t))
+            punct = len(_PUNCT_RE.findall(t))
+            mask.append(nt >= min_tokens and punct * 2 <= max(1, nt))
+        batch = batch.filter(pa.array(mask))
+        if batch.num_rows == 0:
+            return batch
+        batch = langid(batch)
+        keep_lang = pa.array(
+            [p == lang for p in batch["lang_pred"].to_pylist()]
+        )
+        return batch.filter(keep_lang).drop_columns(["lang_pred"])
+
+    filtered = ds.map_batches(keep, batch_format="pyarrow")
+    survivors = exact_dedup(filtered, text_col=text_col, id_col=id_col)
+    return minhash_dedup(
+        survivors,
+        threshold=minhash_threshold,
+        text_col=text_col,
+        id_col=id_col,
+        broadcast_resolve_limit=broadcast_resolve_limit,
+    )
