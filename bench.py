@@ -180,6 +180,16 @@ def run_bench() -> dict:
     ).count()
     queries["dedup_simhash"] = round(time.time() - t0, 3)
 
+    from scoobie_ray.pipelines.curate import curate
+
+    t0 = time.time()
+    curate(
+        ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+    ).count()
+    queries["curate"] = round(time.time() - t0, 3)
+
     # persisted-LSH ANN: build the bucket-partitioned index + serve 3 queries
     import tempfile
 
