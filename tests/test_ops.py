@@ -459,3 +459,35 @@ def test_ivf_index_prunes_and_recalls(ray_session, tmp_path):
         assert q in an[q]  # self-hit
     recall = sum(len(an[q] & es[q]) for q in qids) / sum(len(es[q]) for q in qids)
     assert recall >= 0.6
+
+
+def test_curate_composed_pipeline(ray_session):
+    """pipelines.curate chains quality -> langid -> exact dedup ->
+    minhash dedup; each stage must bite: short docs drop (min_tokens),
+    non-English docs drop (stopword profile), exact and near duplicates
+    keep only the min-id representative."""
+    import pyarrow as pa
+    import ray.data
+
+    from scoobie_ray.pipelines.curate import curate
+
+    base = " ".join("w%d" % (i * 17) for i in range(40))
+    near = base + " extra"
+    docs = [
+        (0, base),                          # keeper (cluster rep)
+        (1, base),                          # exact dup of 0
+        (2, near),                          # near dup of 0
+        (3, "short text only"),             # fails min_tokens
+        (4, "el la de que y en un una los las por con es " * 4),  # Spanish
+        (5, " ".join("q%d" % (i * 31) for i in range(40))),       # keeper
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        )
+    )
+    out = sorted(r["doc_id"] for r in curate(ds, min_tokens=30).take_all())
+    assert out == [0, 5]
