@@ -277,3 +277,91 @@ def test_distributed_resolution_string_ids(ray_session):
         for r in minhash_dedup(ds, threshold=0.8, broadcast_resolve_limit=0).take_all()
     )
     assert forced == expected
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=40),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(0, 10),
+)
+def test_string_hash_chunk_slice_invariant(strs, offset):
+    """util.hash_string_array_u64 must be a pure function of the VALUE:
+    identical across chunking, slicing, large_string storage, and
+    neighboring values (buffer views must not leak across offsets)."""
+    import pyarrow as pa
+
+    from scoobie_ray.util import hash_string_array_u64
+
+    base = hash_string_array_u64(pa.array(strs, pa.string()))
+    # chunked in two
+    cut = len(strs) // 2
+    chunked = pa.chunked_array(
+        [pa.array(strs[:cut], pa.string()), pa.array(strs[cut:], pa.string())]
+    )
+    assert (hash_string_array_u64(chunked) == base).all()
+    # sliced view with junk neighbors
+    padded = pa.array(["#pad#"] * offset + strs + ["#tail#"], pa.string())
+    sliced = padded.slice(offset, len(strs))
+    assert (hash_string_array_u64(sliced) == base).all()
+    # large_string storage
+    assert (hash_string_array_u64(pa.array(strs, pa.large_string())) == base).all()
+    # equal values hash equal; hashing is deterministic across calls
+    assert (hash_string_array_u64(pa.array(strs, pa.string())) == base).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    ).filter(lambda ps: any(a != b for a, b in ps))
+)
+def test_cc_labels_matches_bfs_oracle(ray_session, pairs):
+    """Distributed hash-min connected components == BFS components on
+    random pair graphs (self-loops dropped; arbitrary chain/star/cycle
+    shapes)."""
+    import pyarrow as pa
+    import ray.data
+
+    from scoobie_ray.ops.dedup import _cc_labels
+
+    pairs = [(a, b) for a, b in pairs if a != b]
+    if not pairs:
+        return
+    # BFS oracle
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect: dict[int, int] = {}
+    seen: set[int] = set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        while stack:
+            v = stack.pop()
+            if v in seen:
+                continue
+            seen.add(v)
+            comp.append(v)
+            stack.extend(adj[v] - seen)
+        m = min(comp)
+        for v in comp:
+            expect[v] = m
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs], pa.int64()),
+                "b": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    )
+    got = {r["n"]: r["l"] for r in _cc_labels(ds).take_all()}
+    assert got == expect
