@@ -271,42 +271,79 @@ def build_markov_chain(
     if len(rel) == 0 or len(types) == 0:
         return _empty_markov()
 
-    cluster_map = dict(
-        zip(type_clusters["type"].to_pylist(), type_clusters["cluster"].to_pylist())
-    )
-    subj_clusters: dict[int, list[int]] = {}
-    for s, t in zip(types["subject"].to_pylist(), types["type"].to_pylist()):
-        c = cluster_map.get(t, t)
-        lst = subj_clusters.setdefault(s, [])
-        if c not in lst:
-            lst.append(c)
+    # subject -> distinct cluster list, fully vectorized (r3 — a 1B-edge
+    # KB makes the old per-edge Python loop the build bottleneck):
+    # map types through the cluster table, dedupe (subject, cluster)
+    # pairs, sort by subject and keep CSR-style offsets
+    t_subj = types["subject"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t_type = types["type"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ck = type_clusters["type"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cv = type_clusters["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ck, kind="mergesort")
+    ck, cv = ck[order], cv[order]
+    pos = np.searchsorted(ck, t_type)
+    pos = np.minimum(pos, max(0, len(ck) - 1))
+    found = (ck[pos] == t_type) if len(ck) else np.zeros(len(t_type), dtype=bool)
+    t_cluster = np.where(found, cv[pos] if len(cv) else 0, t_type)
+    sc = np.unique(np.stack([t_subj, t_cluster], axis=1), axis=0)
+    sc_subj, sc_cluster = sc[:, 0], sc[:, 1]
+    subj_ids = np.unique(sc_subj)
+    starts = np.searchsorted(sc_subj, subj_ids)
+    ends = np.searchsorted(sc_subj, subj_ids, side="right")
 
-    counts: dict[tuple[int, int, int], int] = {}
-    for s, p, o in zip(
-        rel["subject"].to_pylist(),
-        rel["predicate"].to_pylist(),
-        rel["object"].to_pylist(),
-    ):
-        for cs in subj_clusters.get(s, ()):
-            for co in subj_clusters.get(o, ()):
-                key = (cs, p, co)
-                counts[key] = counts.get(key, 0) + 1
-    if not counts:
+    def lookup(nodes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """per node: (start offset into sc_cluster, count); absent -> 0."""
+        p = np.searchsorted(subj_ids, nodes)
+        p = np.minimum(p, max(0, len(subj_ids) - 1))
+        ok = (subj_ids[p] == nodes) if len(subj_ids) else np.zeros(len(nodes), bool)
+        st = np.where(ok, starts[p] if len(starts) else 0, 0)
+        n = np.where(ok, (ends[p] - starts[p]) if len(starts) else 0, 0)
+        return st.astype(np.int64), n.astype(np.int64)
+
+    r_s = rel["subject"].to_numpy(zero_copy_only=False).astype(np.int64)
+    r_p = rel["predicate"].to_numpy(zero_copy_only=False).astype(np.int64)
+    r_o = rel["object"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s_st, s_n = lookup(r_s)
+    o_st, o_n = lookup(r_o)
+    per_edge = s_n * o_n
+    total = int(per_edge.sum())
+    if total == 0:
         return _empty_markov()
+    # explode every edge into its (cs, co) cluster cross product with one
+    # repeat + within-edge position arithmetic — no Python per edge
+    edge_of = np.repeat(np.arange(len(per_edge)), per_edge)
+    base = np.concatenate([[0], np.cumsum(per_edge)[:-1]])
+    q = np.arange(total) - base[edge_of]
+    cs = sc_cluster[s_st[edge_of] + q // o_n[edge_of]]
+    co = sc_cluster[o_st[edge_of] + q % o_n[edge_of]]
+    pp = r_p[edge_of]
 
-    pair_totals: dict[tuple[int, int], int] = {}
-    for (cs, _p, co), n in counts.items():
-        pair_totals[(cs, co)] = pair_totals.get((cs, co), 0) + n
-
-    rows = sorted(counts.items())
+    # count distinct (cs, p, co) rows via lexsort + boundary scan
+    order = np.lexsort((co, pp, cs))
+    cs, pp, co = cs[order], pp[order], co[order]
+    first = np.empty(total, dtype=bool)
+    first[0] = True
+    first[1:] = (cs[1:] != cs[:-1]) | (pp[1:] != pp[:-1]) | (co[1:] != co[:-1])
+    idx = np.flatnonzero(first)
+    n = np.diff(np.concatenate([idx, [total]]))
+    cs_u, pp_u, co_u = cs[idx], pp[idx], co[idx]
+    # per (cs, co) totals for normalization
+    pair_order = np.lexsort((co_u, cs_u))
+    pcs, pco, pn = cs_u[pair_order], co_u[pair_order], n[pair_order]
+    pfirst = np.empty(len(pcs), dtype=bool)
+    pfirst[0] = True
+    pfirst[1:] = (pcs[1:] != pcs[:-1]) | (pco[1:] != pco[:-1])
+    group = np.cumsum(pfirst) - 1
+    totals_per_group = np.bincount(group, weights=pn)
+    totals_sorted = totals_per_group[group]  # aligned with pair_order
+    totals = np.empty(len(pcs))
+    totals[pair_order] = totals_sorted
     return pa.table(
         {
-            "cluster_s": pa.array([k[0] for k, _ in rows], pa.int64()),
-            "predicate": pa.array([k[1] for k, _ in rows], pa.int64()),
-            "cluster_o": pa.array([k[2] for k, _ in rows], pa.int64()),
-            "prob": pa.array(
-                [n / pair_totals[(k[0], k[2])] for k, n in rows], pa.float64()
-            ),
+            "cluster_s": pa.array(cs_u, pa.int64()),
+            "predicate": pa.array(pp_u, pa.int64()),
+            "cluster_o": pa.array(co_u, pa.int64()),
+            "prob": pa.array(n / totals, pa.float64()),
         }
     )
 

@@ -94,47 +94,87 @@ def coverage_ambiguity_counts(bundle: KBBundle) -> pa.Table:
     over symbol rows, symbol-row count.  The hashable (no-float) form —
     the ``kb_coverage`` oracle checks this table; :func:`coverage_ambiguity`
     derives its ratios from it."""
+    import numpy as np
+
     sym = bundle.symbols
     types = bundle.types
-    type_of: dict[int, list[int]] = {}
-    for s, t in zip(types["subject"].to_pylist(), types["type"].to_pylist()):
-        type_of.setdefault(s, []).append(t)
-    n_instances: dict[int, int] = {}
-    for ts in type_of.values():
-        for t in ts:
-            n_instances[t] = n_instances.get(t, 0) + 1
+    if len(sym) == 0 or len(types) == 0:
+        e = pa.array([], pa.int64())
+        return pa.table(
+            {"type": e, "predicate": e, "covered": e, "instances": e,
+             "amb_sum": e, "amb_n": e}
+        )
+
+    # fully vectorized (r3): CSR over the RAW (subject, type) rows (no
+    # dedupe — matches the original loop exactly, including repeated rows
+    # double-counting), symbols exploded over each subject's types with
+    # one repeat, and every per-(type, predicate) statistic reduced with
+    # lexsort + boundary scans
+    t_subj = types["subject"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t_type = types["type"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(t_subj, kind="mergesort")
+    t_subj, t_type = t_subj[order], t_type[order]
+    subj_ids = np.unique(t_subj)
+    t_starts = np.searchsorted(t_subj, subj_ids)
+    t_ends = np.searchsorted(t_subj, subj_ids, side="right")
+    # instances per type = raw row count per type
+    inst_keys, inst_counts = np.unique(t_type, return_counts=True)
+
+    s_arr = sym["subject"].to_numpy(zero_copy_only=False).astype(np.int64)
+    p_arr = sym["predicate"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o_arr = sym["object"].to_numpy(zero_copy_only=False).astype(np.int64)
 
     # ambiguity per literal: #distinct subjects sharing it
-    lit_subjects: dict[int, set[int]] = {}
-    for s, o in zip(sym["subject"].to_pylist(), sym["object"].to_pylist()):
-        lit_subjects.setdefault(o, set()).add(s)
+    os_pairs = np.unique(np.stack([o_arr, s_arr], axis=1), axis=0)
+    amb_keys, amb_counts = np.unique(os_pairs[:, 0], return_counts=True)
+    amb_of_row = amb_counts[np.searchsorted(amb_keys, o_arr)]
 
-    # per (type, predicate): covered instances + literal ambiguity sum/count
-    cov: dict[tuple[int, int], set[int]] = {}
-    amb_sum: dict[tuple[int, int], int] = {}
-    amb_n: dict[tuple[int, int], int] = {}
-    for s, p, o in zip(
-        sym["subject"].to_pylist(),
-        sym["predicate"].to_pylist(),
-        sym["object"].to_pylist(),
-    ):
-        for t in type_of.get(s, ()):
-            key = (t, p)
-            cov.setdefault(key, set()).add(s)
-            amb_sum[key] = amb_sum.get(key, 0) + len(lit_subjects[o])
-            amb_n[key] = amb_n.get(key, 0) + 1
+    # explode symbol rows over their subject's types
+    pos = np.searchsorted(subj_ids, s_arr)
+    pos = np.minimum(pos, len(subj_ids) - 1)
+    ok = subj_ids[pos] == s_arr
+    st = np.where(ok, t_starts[pos], 0)
+    nt = np.where(ok, t_ends[pos] - t_starts[pos], 0)
+    total = int(nt.sum())
+    if total == 0:
+        e = pa.array([], pa.int64())
+        return pa.table(
+            {"type": e, "predicate": e, "covered": e, "instances": e,
+             "amb_sum": e, "amb_n": e}
+        )
+    row_of = np.repeat(np.arange(len(s_arr)), nt)
+    base = np.concatenate([[0], np.cumsum(nt)[:-1]])
+    q = np.arange(total) - base[row_of]
+    tt = t_type[st[row_of] + q]
+    pp = p_arr[row_of]
+    ss = s_arr[row_of]
+    aa = amb_of_row[row_of]
 
-    rows = sorted(cov)
+    order = np.lexsort((ss, pp, tt))
+    tt, pp, ss, aa = tt[order], pp[order], ss[order], aa[order]
+    first_tp = np.empty(total, dtype=bool)
+    first_tp[0] = True
+    first_tp[1:] = (tt[1:] != tt[:-1]) | (pp[1:] != pp[:-1])
+    gidx = np.flatnonzero(first_tp)
+    group = np.cumsum(first_tp) - 1
+    amb_sum = np.bincount(group, weights=aa).astype(np.int64)
+    amb_n = np.diff(np.concatenate([gidx, [total]]))
+    # covered = distinct subjects per (t, p): subjects are sorted within
+    # each group, so count boundaries where (group, s) changes
+    new_s = np.empty(total, dtype=bool)
+    new_s[0] = True
+    new_s[1:] = first_tp[1:] | (ss[1:] != ss[:-1])
+    covered = np.bincount(group, weights=new_s).astype(np.int64)
+    tt_u, pp_u = tt[gidx], pp[gidx]
+    inst = inst_counts[np.searchsorted(inst_keys, tt_u)]
     return pa.table(
         {
-            "type": pa.array([t for t, _ in rows], pa.int64()),
-            "predicate": pa.array([p for _, p in rows], pa.int64()),
-            "covered": pa.array([len(cov[k]) for k in rows], pa.int64()),
-            "instances": pa.array(
-                [n_instances.get(k[0], 0) for k in rows], pa.int64()
-            ),
-            "amb_sum": pa.array([amb_sum[k] for k in rows], pa.int64()),
-            "amb_n": pa.array([amb_n[k] for k in rows], pa.int64()),
+            "type": pa.array(tt_u, pa.int64()),
+            "predicate": pa.array(pp_u, pa.int64()),
+            "covered": pa.array(covered, pa.int64()),
+            "instances": pa.array(inst.astype(np.int64), pa.int64()),
+            "amb_sum": pa.array(amb_sum, pa.int64()),
+            "amb_n": pa.array(amb_n.astype(np.int64), pa.int64()),
         }
     )
 

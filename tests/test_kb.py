@@ -244,3 +244,77 @@ def test_avg_linkage_type_clusters():
     assert all(k == v for k, v in ident.items())
     jac = cluster_correlating_types(types)
     assert ident == jac
+
+
+def test_markov_chain_multicluster_matches_bruteforce():
+    """The vectorized edge x cluster-cross-product explode must equal the
+    brute-force per-edge loop on a KB with MULTI-typed subjects (the
+    fixture KB is single-typed, so this path needs its own gate)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from scoobie_ray.kb.build import build_markov_chain
+
+    rng = np.random.default_rng(11)
+    n_subj, n_types, n_edges = 40, 6, 120
+    subj, typ = [], []
+    for s in range(n_subj):
+        for t in rng.choice(n_types, size=rng.integers(1, 4), replace=False):
+            subj.append(s)
+            typ.append(100 + int(t))
+    types = pa.table(
+        {"subject": pa.array(subj, pa.int64()), "type": pa.array(typ, pa.int64())}
+    )
+    # clusters merge types 100/101 under 100; others identity
+    tc = pa.table(
+        {
+            "type": pa.array([100 + i for i in range(n_types)], pa.int64()),
+            "cluster": pa.array(
+                [100, 100] + [100 + i for i in range(2, n_types)], pa.int64()
+            ),
+        }
+    )
+    es = rng.integers(0, n_subj, n_edges)
+    eo = rng.integers(0, n_subj, n_edges)
+    ep = rng.integers(200, 203, n_edges)
+    rel = pa.table(
+        {
+            "subject": pa.array(es, pa.int64()),
+            "predicate": pa.array(ep, pa.int64()),
+            "object": pa.array(eo, pa.int64()),
+        }
+    )
+
+    got = build_markov_chain(rel, types, tc, type_pred_idx=None)
+
+    # brute force
+    cmap = dict(zip(tc["type"].to_pylist(), tc["cluster"].to_pylist()))
+    sc: dict[int, list[int]] = {}
+    for s, t in zip(subj, typ):
+        c = cmap.get(t, t)
+        if c not in sc.setdefault(s, []):
+            sc[s].append(c)
+    counts: dict[tuple[int, int, int], int] = {}
+    for s, p, o in zip(es.tolist(), ep.tolist(), eo.tolist()):
+        for cs in sc.get(s, ()):
+            for co in sc.get(o, ()):
+                counts[(cs, p, co)] = counts.get((cs, p, co), 0) + 1
+    pair: dict[tuple[int, int], int] = {}
+    for (cs, _p, co), v in counts.items():
+        pair[(cs, co)] = pair.get((cs, co), 0) + v
+    expect = {
+        k: v / pair[(k[0], k[2])] for k, v in counts.items()
+    }
+
+    got_map = {
+        (a, b, c): p
+        for a, b, c, p in zip(
+            got["cluster_s"].to_pylist(),
+            got["predicate"].to_pylist(),
+            got["cluster_o"].to_pylist(),
+            got["prob"].to_pylist(),
+        )
+    }
+    assert set(got_map) == set(expect)
+    for k in expect:
+        assert abs(got_map[k] - expect[k]) < 1e-12, k

@@ -101,3 +101,71 @@ def test_kb_build_job_matches_driver_build(ray_session):
             ref_bundle.symbols.sort_by([("subject", "ascending"), ("predicate", "ascending"), ("object", "ascending")])
         )
     )
+
+
+def test_coverage_counts_multityped_matches_bruteforce():
+    """The vectorized symbols x subject-types explode must equal the
+    brute-force per-row loop on multi-typed subjects with repeated
+    (subject, type) rows (raw-row semantics, no dedupe) and shared
+    literals (ambiguity > 1)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from scoobie_ray.kb.bundle import KBBundle
+    from scoobie_ray.kb.stats import coverage_ambiguity_counts
+
+    rng = np.random.default_rng(23)
+    subj, typ = [], []
+    for s in range(30):
+        for t in rng.choice(5, size=rng.integers(1, 4), replace=False):
+            subj.append(s)
+            typ.append(50 + int(t))
+    # a repeated (subject, type) row — original loop double-counts it
+    subj.append(0)
+    typ.append(typ[0])
+    n_sym = 90
+    ss = rng.integers(0, 30, n_sym)
+    pp = rng.integers(90, 93, n_sym)
+    oo = rng.integers(0, 20, n_sym)  # shared literals
+    kb = KBBundle.from_tables(
+        {
+            "resources": pa.table({"index": pa.array([], pa.int64()), "uri": pa.array([], pa.string())}),
+            "literals": pa.table({"index": pa.array([], pa.int64()), "literal": pa.array([], pa.string()), "prefix": pa.array([], pa.int64())}),
+            "symbols": pa.table({"subject": pa.array(ss, pa.int64()), "predicate": pa.array(pp, pa.int64()), "object": pa.array(oo, pa.int64())}),
+            "relations": pa.table({"subject": pa.array([], pa.int64()), "predicate": pa.array([], pa.int64()), "object": pa.array([], pa.int64())}),
+            "types": pa.table({"subject": pa.array(subj, pa.int64()), "type": pa.array(typ, pa.int64())}),
+            "type_clusters": pa.table({"type": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}),
+            "markov": pa.table({"cluster_s": pa.array([], pa.int64()), "predicate": pa.array([], pa.int64()), "cluster_o": pa.array([], pa.int64()), "prob": pa.array([], pa.float64())}),
+            "cardinalities": pa.table({"predicate": pa.array([], pa.int64()), "subj_card": pa.array([], pa.float64()), "obj_card": pa.array([], pa.float64())}),
+        }
+    )
+    got = coverage_ambiguity_counts(kb)
+
+    # brute force (the pre-r3 loop)
+    type_of: dict[int, list[int]] = {}
+    for s, t in zip(subj, typ):
+        type_of.setdefault(s, []).append(t)
+    lit_subjects: dict[int, set[int]] = {}
+    for s, o in zip(ss.tolist(), oo.tolist()):
+        lit_subjects.setdefault(o, set()).add(s)
+    cov: dict[tuple[int, int], set] = {}
+    amb_sum: dict[tuple[int, int], int] = {}
+    amb_n: dict[tuple[int, int], int] = {}
+    n_inst: dict[int, int] = {}
+    for ts in type_of.values():
+        for t in ts:
+            n_inst[t] = n_inst.get(t, 0) + 1
+    for s, p, o in zip(ss.tolist(), pp.tolist(), oo.tolist()):
+        for t in type_of.get(s, ()):
+            k = (t, p)
+            cov.setdefault(k, set()).add(s)
+            amb_sum[k] = amb_sum.get(k, 0) + len(lit_subjects[o])
+            amb_n[k] = amb_n.get(k, 0) + 1
+
+    rows = sorted(cov)
+    assert list(zip(got["type"].to_pylist(), got["predicate"].to_pylist())) == rows
+    for i, k in enumerate(rows):
+        assert got["covered"][i].as_py() == len(cov[k]), k
+        assert got["instances"][i].as_py() == n_inst[k[0]], k
+        assert got["amb_sum"][i].as_py() == amb_sum[k], k
+        assert got["amb_n"][i].as_py() == amb_n[k], k
