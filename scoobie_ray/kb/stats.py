@@ -250,20 +250,33 @@ def proper_name_ratings(
             bundle.type_clusters["cluster"].to_pylist(),
         )
     )
-    df_map: dict[int, int] = {}
-    if doc_freq is not None:
-        df_map = dict(
-            zip(doc_freq["literal"].to_pylist(), doc_freq["df"].to_pylist())
-        )
-    # mean idf per predicate over its literals
+    import numpy as np
+
+    # mean idf per predicate over its literals — vectorized over the
+    # KB-sized symbols table (r3; the per-row loop was the last KB-build
+    # Python hotspot): df lookup by searchsorted, per-predicate mean by
+    # bincount on predicate codes
     sym = bundle.symbols
+    p_arr = sym["predicate"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o_arr = sym["object"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if doc_freq is not None and len(doc_freq):
+        dfk = doc_freq["literal"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dfv = doc_freq["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(dfk, kind="mergesort")
+        dfk, dfv = dfk[order], dfv[order]
+        pos = np.minimum(np.searchsorted(dfk, o_arr), len(dfk) - 1)
+        df_row = np.where(dfk[pos] == o_arr, dfv[pos], 0)
+    else:
+        df_row = np.zeros(len(o_arr), dtype=np.int64)
+    idf_row = np.log((1 + n_docs) / (1 + df_row))
     idf_sum: dict[int, float] = {}
     idf_n: dict[int, int] = {}
-    for p, o in zip(sym["predicate"].to_pylist(), sym["object"].to_pylist()):
-        df = df_map.get(o, 0)
-        idf = math.log((1 + n_docs) / (1 + df))
-        idf_sum[p] = idf_sum.get(p, 0.0) + idf
-        idf_n[p] = idf_n.get(p, 0) + 1
+    if len(p_arr):
+        preds_u, codes = np.unique(p_arr, return_inverse=True)
+        sums = np.bincount(codes, weights=idf_row)
+        ns = np.bincount(codes)
+        idf_sum = dict(zip(preds_u.tolist(), sums.tolist()))
+        idf_n = dict(zip(preds_u.tolist(), ns.tolist()))
 
     rows = []
     for t, p, cov, amb in zip(
