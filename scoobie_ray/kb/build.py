@@ -164,19 +164,31 @@ def _avg_linkage_type_clusters(
     """
     import numpy as np
 
-    subj = types["subject"].to_pylist()
-    typ = types["type"].to_pylist()
-    tids = sorted(set(typ))
+    t_subj = types["subject"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t_type = types["type"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tids_arr = np.unique(t_type)
+    tids = tids_arr.tolist()
     if not tids:
         return {}
     if len(tids) == 1:
         return {tids[0]: tids[0]}
-    tpos = {t: i for i, t in enumerate(tids)}
-    subs = sorted(set(subj))
-    spos = {s: i for i, s in enumerate(subs)}
+    subs = np.unique(t_subj)
+    # the reference estimates correlations from SAMPLED instances
+    # (PostgresKB.getTypeCorrelations(samples), :1548); the incidence
+    # matrix is dense (#subjects x #types), so bound the subject sample
+    # deterministically (smallest splitmix64 hashes) past the cap
+    max_subjects = 20_000
+    if len(subs) > max_subjects:
+        from ..util import splitmix64_np
+
+        h = splitmix64_np(subs.astype(np.uint64))
+        subs = subs[np.argsort(h, kind="mergesort")[:max_subjects]]
+        subs.sort()
+        keep = np.isin(t_subj, subs)
+        t_subj, t_type = t_subj[keep], t_type[keep]
+    # vectorized incidence fill: row/col codes via searchsorted
     X = np.zeros((len(subs), len(tids)))
-    for s, t in zip(subj, typ):
-        X[spos[s], tpos[t]] = 1.0
+    X[np.searchsorted(subs, t_subj), np.searchsorted(tids_arr, t_type)] = 1.0
 
     with np.errstate(invalid="ignore", divide="ignore"):
         cor = np.corrcoef(X, rowvar=False)
@@ -412,11 +424,21 @@ def cluster_correlating_types(
     """
     if linkage == "average":
         return _avg_linkage_type_clusters(types, threshold, bias)
-    subj = types["subject"].to_pylist()
-    typ = types["type"].to_pylist()
-    by_type: dict[int, set[int]] = {}
-    for s, t in zip(subj, typ):
-        by_type.setdefault(t, set()).add(s)
+    # per-type sorted instance arrays, vectorized (one np.unique over the
+    # (type, subject) pairs + boundary slices — no per-row Python; the
+    # pairwise Jaccard below is O(#types^2) set intersections, small)
+    t_subj = types["subject"].to_numpy(zero_copy_only=False).astype(np.int64)
+    t_type = types["type"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if not len(t_type):
+        return {}
+    ts = np.unique(np.stack([t_type, t_subj], axis=1), axis=0)
+    bounds = np.searchsorted(ts[:, 0], np.unique(ts[:, 0]))
+    tids_arr = ts[bounds, 0]
+    slices = np.append(bounds, len(ts))
+    by_type = {
+        int(tids_arr[i]): ts[slices[i] : slices[i + 1], 1]
+        for i in range(len(tids_arr))
+    }
 
     tids = sorted(by_type)
     parent = {t: t for t in tids}
@@ -430,8 +452,8 @@ def cluster_correlating_types(
     for i, a in enumerate(tids):
         for b in tids[i + 1 :]:
             sa, sb = by_type[a], by_type[b]
-            inter = len(sa & sb)
-            if inter and inter / len(sa | sb) >= threshold:
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            if inter and inter / (len(sa) + len(sb) - inter) >= threshold:
                 ra, rb = find(a), find(b)
                 if ra != rb:
                     parent[max(ra, rb)] = min(ra, rb)
