@@ -70,6 +70,51 @@ def _q_curate(sf_dir: str):
     return curate(_documents(sf_dir)).select_columns(["doc_id"])
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: the 'benchmark' is the deterministic
+    doc_id % 37 == 0 slice of the corpus (mirrored in the SQL oracle's
+    bench CTE), 8-token grams, broadcast set + one streaming pass."""
+    import pyarrow as pa
+
+    from scoobie_ray.ops.curation import decontaminate
+
+    def bench_slice(b: "pa.Table") -> "pa.Table":
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 37 == 0))
+
+    docs = _documents(sf_dir)
+    bench = docs.map_batches(bench_slice, batch_format="pyarrow")
+    return decontaminate(docs, bench, n=8)
+
+
+def _q_sample_stratified(sf_dir: str):
+    """Deterministic per-language sampling: keep 60% of en, 30% of es,
+    10% of everything else, chosen by md5_number_upper(doc_id)."""
+    import ray.data
+
+    from scoobie_ray.ops.curation import sample_stratified
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return sample_stratified(docs, {"en": 60, "es": 30}, default_pct=10)
+
+
+def _q_pack_sequences(sf_dir: str):
+    """Causal-LM sequence packing at budget 256 (distributed prefix sum)."""
+    from scoobie_ray.ops.curation import pack_sequences
+
+    return pack_sequences(_documents(sf_dir), budget=256).select_columns(
+        ["doc_id", "n_tokens", "seq_id", "seq_off"]
+    )
+
+
+def _q_repetition_stats(sf_dir: str):
+    from scoobie_ray.ops.curation import repetition_stats
+
+    return repetition_stats(_documents(sf_dir))
+
+
 def _q_fingerprint(sf_dir: str):
     from scoobie_ray.ops.text import fingerprint_batch
 
@@ -637,6 +682,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_recall": _q_knn_ivf_recall,
         "dedup_embedding": _q_dedup_embedding,
         "curate": _q_curate,
+        "decontaminate": _q_decontaminate,
+        "sample_stratified": _q_sample_stratified,
+        "pack_sequences": _q_pack_sequences,
+        "repetition_stats": _q_repetition_stats,
         "np_chunks": _q_np_chunks,
         "kg_rated": _q_kg_rated,
         # --- relational surface ---

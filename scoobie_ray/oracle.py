@@ -1025,3 +1025,92 @@ reach(a, b) AS (
 )
 SELECT a AS vec_id FROM reach GROUP BY a HAVING min(b) = a
 """
+
+# ---- corpus-curation oracles (ops/curation.py, all integer-exact) ----------
+# decontaminate: benchmark = docs with doc_id % 37 == 0 (the engine-side
+# wrapper in __ray_entry__ uses the same filter); n = 8 token grams.
+# List slicing w[i:i+7] is 1-based inclusive-inclusive (8 elements).
+ORACLES["decontaminate"] = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+ix AS (SELECT i FROM generate_series(1, 512) t(i)),
+g AS (
+  SELECT d.doc_id, array_to_string(d.w[ix.i:ix.i+7], ' ') AS gram
+  FROM d JOIN ix ON ix.i <= len(d.w) - 7
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_hits
+  FROM g JOIN bench USING (gram) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(greatest(len(d.w) - 7, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM d LEFT JOIN hits h USING (doc_id)
+"""
+
+# sample_stratified: md5_number_upper(key) == int.from_bytes(md5[:8],
+# 'little') (the engine's stable_bucket_u64) — deterministic per-stratum
+# percentage keep.  Rates mirror the engine wrapper: en 60 / es 30 /
+# default 10.
+ORACLES["sample_stratified"] = r"""
+SELECT doc_id, lang,
+       CAST(md5_number_upper(doc_id::VARCHAR) % 100 AS BIGINT) AS bucket
+FROM documents
+WHERE md5_number_upper(doc_id::VARCHAR) % 100 <
+      CASE lang WHEN 'en' THEN 60 WHEN 'es' THEN 30 ELSE 10 END
+"""
+
+# pack_sequences: global prefix sum of whitespace token counts in doc_id
+# order, budget 256 (engine: ops/curation.pack_sequences distributed
+# prefix-sum; a doc may straddle sequences — causal-LM packing).
+ORACLES["pack_sequences"] = r"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM q
+)
+SELECT doc_id, n_tokens,
+       CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_id,
+       CAST((cum - n_tokens) % 256 AS BIGINT) AS seq_off
+FROM c
+"""
+
+# repetition_stats: within-doc duplicate-token / duplicate-2-gram
+# counters (Gopher quality-signal numerators), integer-exact.
+ORACLES["repetition_stats"] = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+t AS (SELECT doc_id, unnest(w) AS tok FROM d),
+ts AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct_tokens
+  FROM t GROUP BY doc_id
+),
+ix AS (SELECT i FROM generate_series(1, 512) t(i)),
+g AS (
+  SELECT d.doc_id, array_to_string(d.w[ix.i:ix.i+1], ' ') AS gram
+  FROM d JOIN ix ON ix.i <= len(d.w) - 1
+),
+gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+gs AS (
+  SELECT doc_id, sum(c) AS n_2grams, count(*) AS n_distinct_2grams,
+         max(c) AS top_2gram_count
+  FROM gc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(ts.n_tokens AS BIGINT) AS n_tokens,
+       CAST(ts.n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+       CAST(COALESCE(gs.n_2grams, 0) AS BIGINT) AS n_2grams,
+       CAST(COALESCE(gs.n_distinct_2grams, 0) AS BIGINT) AS n_distinct_2grams,
+       CAST(COALESCE(gs.top_2gram_count, 0) AS BIGINT) AS top_2gram_count
+FROM d JOIN ts USING (doc_id) LEFT JOIN gs USING (doc_id)
+"""

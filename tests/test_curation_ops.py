@@ -1,0 +1,173 @@
+"""Unit tests for the corpus-curation operators (ops/curation.py).
+
+The driver-facing contracts (exact equality vs the DuckDB oracles) are
+gated by tools/check_correctness.py; these tests pin the operator
+semantics on tiny planted inputs so refactors can't silently drift.
+"""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from scoobie_ray.ops.curation import (
+    Decontaminator,
+    benchmark_ngram_set,
+    decontaminate,
+    pack_sequences,
+    repetition_stats,
+    repetition_stats_batch,
+    sample_stratified,
+    stable_bucket_u64,
+)
+
+
+def _docs_ds(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_benchmark_ngram_set(ray_session):
+    bench = _docs_ds([(1, "a b c d"), (2, "b c d e")])
+    grams = benchmark_ngram_set(bench, n=3)
+    assert grams == {"a b c", "b c d", "c d e"}
+
+
+def test_decontaminate_counts(ray_session):
+    bench = _docs_ds([(100, "x y z")])
+    corpus = _docs_ds(
+        [
+            (1, "x y z q x y z"),  # two hits of "x y z" among 5 3-grams
+            (2, "a b c d"),  # clean, 2 grams
+            (3, "x y"),  # too short: 0 grams
+        ]
+    )
+    out = (
+        decontaminate(corpus, bench, n=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "n_grams"] == 5 and out.loc[1, "n_hits"] == 2
+    assert bool(out.loc[1, "contaminated"])
+    assert out.loc[2, "n_hits"] == 0 and not bool(out.loc[2, "contaminated"])
+    assert out.loc[3, "n_grams"] == 0 and not bool(out.loc[3, "contaminated"])
+
+
+def test_decontaminator_accepts_plain_set():
+    d = Decontaminator(frozenset({"a b"}), n=2)
+    out = d(pa.table({"doc_id": pa.array([7], pa.int64()), "text": ["a b c"]}))
+    assert out["n_hits"].to_pylist() == [1]
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def test_stable_bucket_matches_md5_little_endian():
+    for key in ("0", "17", "doc-42", ""):
+        expect = int.from_bytes(hashlib.md5(key.encode()).digest()[:8], "little")
+        assert stable_bucket_u64(key) == expect
+
+
+def test_sample_stratified_is_deterministic_and_rate_bound(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(400)), pa.int64()),
+            "lang": pa.array(["en", "es", "de", "fr"] * 100, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out1 = sample_stratified(ds, {"en": 60, "es": 30}, default_pct=10).to_pandas()
+    out2 = sample_stratified(ds, {"en": 60, "es": 30}, default_pct=10).to_pandas()
+    # identical row sets across runs (hash-determined, no RNG)
+    assert sorted(out1["doc_id"]) == sorted(out2["doc_id"])
+    # every kept row's bucket is under its stratum's rate
+    rate = out1["lang"].map({"en": 60, "es": 30}).fillna(10)
+    assert (out1["bucket"] < rate).all()
+    # and no qualifying row was dropped
+    buckets = np.array([stable_bucket_u64(str(i)) % 100 for i in range(400)])
+    rates = np.array([{"en": 60, "es": 30}.get(l, 10) for l in t["lang"].to_pylist()])
+    assert len(out1) == int((buckets < rates).sum())
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_prefix_sum(ray_session):
+    # token counts 3, 5, 4, 6 -> exclusive prefix 0, 3, 8, 12; budget 10
+    rows = [
+        (10, "a a a"),
+        (11, "b b b b b"),
+        (12, "c c c c"),
+        (13, "d d d d d d"),
+    ]
+    out = (
+        pack_sequences(_docs_ds(rows), budget=10, num_partitions=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out["n_tokens"].tolist() == [3, 5, 4, 6]
+    assert out["seq_id"].tolist() == [0, 0, 0, 1]
+    assert out["seq_off"].tolist() == [0, 3, 8, 2]
+
+
+def test_pack_sequences_sparse_ids_many_partitions(ray_session):
+    # non-dense ids across more partitions than docs
+    rows = [(5, "x"), (900, "y y"), (40, "z z z")]
+    out = (
+        pack_sequences(_docs_ds(rows), budget=2, num_partitions=64)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # id order 5, 40, 900 -> prefixes 0, 1, 4
+    assert out.set_index("doc_id")["seq_id"].to_dict() == {5: 0, 40: 0, 900: 2}
+    assert out.set_index("doc_id")["seq_off"].to_dict() == {5: 0, 40: 1, 900: 0}
+
+
+# ---------------------------------------------------------------------------
+# repetition stats
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_batch_counts():
+    out = repetition_stats_batch(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": ["a a a b", "x y", ""],
+            }
+        )
+    )
+    row = {k: out[k].to_pylist() for k in out.column_names}
+    assert row["n_tokens"] == [4, 2, 0]
+    assert row["n_distinct_tokens"] == [2, 2, 0]
+    assert row["n_2grams"] == [3, 1, 0]
+    # "a a", "a a", "a b" -> 2 distinct, top count 2
+    assert row["n_distinct_2grams"] == [2, 1, 0]
+    assert row["top_2gram_count"] == [2, 1, 0]
+
+
+def test_repetition_stats_dataset(ray_session):
+    out = repetition_stats(_docs_ds([(1, "w w w")])).to_pandas()
+    assert out.loc[0, "top_2gram_count"] == 2
