@@ -32,13 +32,15 @@ integer-exact outputs.
 from __future__ import annotations
 
 import hashlib
-from collections import Counter
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+
+from scoobie_ray.ops.dedup import _hash_str, _splitmix64
 
 # ---------------------------------------------------------------------------
-# benchmark decontamination
+# vectorized whitespace tokenization (shared by every operator below)
 # ---------------------------------------------------------------------------
 
 
@@ -47,12 +49,106 @@ def _tokens(t: str | None) -> list[str]:
     return (t or "").split()
 
 
+def _split_flat(text_col):
+    """Arrow-kernel whitespace split with ``str.split()`` semantics.
+
+    Returns ``(flat_tokens, doc_idx, counts)``: the non-empty tokens of
+    every doc concatenated in order (StringArray), the doc index of each
+    flat token, and per-doc token counts.  ``pc.utf8_split_whitespace``
+    emits empty edge tokens for leading/trailing whitespace (unlike
+    ``str.split()``); those are masked out flat-side.  No per-row Python.
+    """
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    text_col = pc.fill_null(text_col, "")
+    toks = pc.utf8_split_whitespace(text_col)
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    doc_idx = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not nonempty.all():
+        flat = flat.filter(pa.array(nonempty))
+        doc_idx = doc_idx[nonempty]
+        counts = np.bincount(doc_idx, minlength=len(lengths)).astype(np.int64)
+    else:
+        counts = lengths
+    return flat, doc_idx, counts
+
+
+def _token_counts(text_col) -> np.ndarray:
+    """Per-doc whitespace token counts (``len(str.split())``), vectorized."""
+    _, _, counts = _split_flat(text_col)
+    return counts
+
+
+def _flat_token_codes(text_col):
+    """Tokenize + dictionary-encode: ``(codes, doc_idx, counts, uniq)``
+    where ``codes`` are int64 indices into the batch-local unique-token
+    array ``uniq``.  Downstream work (hashing, distinct counts) runs over
+    UNIQUE tokens / integer codes, never per-token Python."""
+    flat, doc_idx, counts = _split_flat(text_col)
+    denc = flat.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return codes, doc_idx, counts, denc.dictionary
+
+
+def _unique_token_hashes(uniq: pa.Array) -> np.ndarray:
+    """64-bit hash per unique token (md5-based ``_hash_str``) — the only
+    Python loop left, bounded by batch vocabulary, not corpus size."""
+    return np.fromiter(
+        (_hash_str(u) for u in uniq.to_pylist()), dtype=np.uint64, count=len(uniq)
+    )
+
+
+def _window_gram_hashes(flat_h: np.ndarray, counts: np.ndarray, n: int):
+    """Rolling n-token-window hashes over doc-concatenated token hashes.
+
+    Returns ``(gram_hashes, gram_doc, m)`` with ``m[d] = max(0,
+    counts[d]-n+1)`` grams for doc d (windows never cross doc
+    boundaries).  Order-sensitive chain: ``g = splitmix(g ^ h_j)`` —
+    identical on the benchmark and corpus sides, so set membership of the
+    hashes equals set membership of the gram strings up to 2^-64
+    collisions."""
+    counts = np.asarray(counts, dtype=np.int64)
+    m = np.maximum(counts - (n - 1), 0)
+    total = int(m.sum())
+    gram_doc = np.repeat(np.arange(len(counts), dtype=np.int64), m)
+    if total == 0:
+        return np.zeros(0, dtype=np.uint64), gram_doc, m
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    gcum = np.concatenate(([0], np.cumsum(m)[:-1]))
+    within = np.arange(total, dtype=np.int64) - np.repeat(gcum, m)
+    pos = starts[gram_doc] + within
+    g = _splitmix64(flat_h[pos].astype(np.uint64))
+    for j in range(1, n):
+        g = _splitmix64(g ^ flat_h[pos + j])
+    return g, gram_doc, m
+
+
+def _gram_hash_of_tokens(toks: list[str]) -> int:
+    """Scalar mirror of :func:`_window_gram_hashes`' chain (for converting
+    legacy string-gram sets)."""
+    if not toks:
+        return 0
+    h = np.fromiter((_hash_str(t) for t in toks), dtype=np.uint64, count=len(toks))
+    g = _splitmix64(h[:1])
+    for j in range(1, len(h)):
+        g = _splitmix64(g ^ h[j : j + 1])
+    return int(g[0])
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
 def benchmark_ngram_set(bench_ds, n: int = 8, text_col: str = "text") -> frozenset[str]:
     """Collect the distinct n-token grams of a benchmark dataset to the
-    driver.  The benchmark is the SMALL side by construction (an eval
-    suite, not the corpus); per-batch distinct grams stream back and are
-    set-unioned driver-side — bounded by the benchmark's size, never the
-    corpus's."""
+    driver as STRINGS (debug/eval surface; production uses
+    :func:`benchmark_gram_hashes`).  The benchmark is the SMALL side by
+    construction (an eval suite, not the corpus); per-batch distinct
+    grams stream back and are set-unioned driver-side — bounded by the
+    benchmark's size, never the corpus's."""
 
     def grams_batch(batch: pa.Table) -> pa.Table:
         out: set[str] = set()
@@ -71,48 +167,81 @@ def benchmark_ngram_set(bench_ds, n: int = 8, text_col: str = "text") -> frozens
     return frozenset(grams)
 
 
+def benchmark_gram_hashes(bench_ds, n: int = 8, text_col: str = "text") -> np.ndarray:
+    """Distinct n-token-gram HASHES of a benchmark dataset, as a sorted
+    uint64 array (the broadcast side of :func:`decontaminate`).  Same
+    vectorized tokenize→hash→window chain as the corpus pass, so
+    membership is exact up to 64-bit collisions."""
+
+    def grams_batch(batch: pa.Table) -> pa.Table:
+        codes, _, counts, uniq = _flat_token_codes(batch[text_col])
+        flat_h = _unique_token_hashes(uniq)[codes]
+        g, _, _ = _window_gram_hashes(flat_h, counts, n)
+        return pa.table({"gram_h": pa.array(np.unique(g), pa.uint64())})
+
+    parts = [
+        b["gram_h"].to_numpy(zero_copy_only=False)
+        for b in bench_ds.map_batches(grams_batch, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    if not parts:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(np.concatenate(parts))
+
+
 class Decontaminator:
     """Per-doc contamination counts against a broadcast benchmark gram
-    set.  Pass the ``ray.put`` ref of ``benchmark_ngram_set``'s result so
-    actors fetch the set once in ``__init__`` (zero-copy from the object
-    store), not per batch.
+    table.  Pass the ``ray.put`` ref of :func:`benchmark_gram_hashes`'s
+    sorted uint64 array so actors fetch it once in ``__init__``
+    (zero-copy from the object store), not per batch.
 
-    At adversarial scale swap the string set for a set of 64-bit gram
-    hashes (both sides hashed identically — equality is preserved up to
-    collisions); the fixture-scale oracle compares exact strings.
+    Both sides hash grams with the identical tokenize→md5-token→
+    splitmix-chain pipeline, so hash membership equals string membership
+    up to 2^-64 collisions; the integer-exact DuckDB oracle (string
+    equality) stays green.  A legacy ``set``/``frozenset`` of gram
+    STRINGS is accepted and converted (tests / debug).
+
+    The per-batch pass is fully vectorized: Arrow whitespace split,
+    dictionary-encode (hash unique tokens only), numpy rolling-window
+    chain, ``searchsorted`` membership, ``bincount`` per-doc hit counts —
+    no ``for row in batch``.
     """
 
     def __init__(self, bench_ref, n: int = 8, text_col: str = "text"):
         import ray
 
-        self.bench = (
-            bench_ref
-            if isinstance(bench_ref, (set, frozenset))
-            else ray.get(bench_ref)
+        bench = (
+            ray.get(bench_ref) if isinstance(bench_ref, ray.ObjectRef) else bench_ref
         )
+        if isinstance(bench, (set, frozenset)):
+            bench = np.unique(
+                np.array(
+                    [_gram_hash_of_tokens(g.split()) for g in bench], dtype=np.uint64
+                )
+            )
+        self.bench = np.ascontiguousarray(bench, dtype=np.uint64)
         self.n = n
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n = self.n
-        bench = self.bench
-        n_grams, n_hits = [], []
-        for t in batch[self.text_col].to_pylist():
-            toks = _tokens(t)
-            m = max(0, len(toks) - n + 1)
-            h = 0
-            for i in range(m):
-                if " ".join(toks[i : i + n]) in bench:
-                    h += 1
-            n_grams.append(m)
-            n_hits.append(h)
-        hits = pa.array(n_hits, pa.int64())
+        codes, _, counts, uniq = _flat_token_codes(batch[self.text_col])
+        flat_h = _unique_token_hashes(uniq)[codes]
+        g, gram_doc, m = _window_gram_hashes(flat_h, counts, self.n)
+        idx = np.searchsorted(self.bench, g)
+        idx[idx == len(self.bench)] = max(len(self.bench) - 1, 0)
+        hit = (
+            self.bench[idx] == g
+            if len(self.bench)
+            else np.zeros(len(g), dtype=bool)
+        )
+        n_hits = np.bincount(gram_doc[hit], minlength=batch.num_rows).astype(np.int64)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_grams": pa.array(n_grams, pa.int64()),
-                "n_hits": hits,
-                "contaminated": pa.array([h > 0 for h in n_hits], pa.bool_()),
+                "n_grams": pa.array(m, pa.int64()),
+                "n_hits": pa.array(n_hits, pa.int64()),
+                "contaminated": pa.array(n_hits > 0, pa.bool_()),
             }
         )
 
@@ -126,7 +255,7 @@ def decontaminate(corpus_ds, bench_ds, n: int = 8, concurrency=None):
 
     from scoobie_ray.util import autoscale_concurrency
 
-    bench_ref = ray.put(benchmark_ngram_set(bench_ds, n=n))
+    bench_ref = ray.put(benchmark_gram_hashes(bench_ds, n=n))
     if concurrency is None:
         concurrency = autoscale_concurrency()
     return corpus_ds.map_batches(
@@ -153,18 +282,27 @@ def sample_stratified(
     default_pct: int = 10,
     key_col: str = "doc_id",
     stratum_col: str = "lang",
+    fast_hash: bool = False,
 ):
     """Keep ``rates_pct[stratum]`` percent of each stratum, selected by a
     stable content hash of the key — deterministic across re-runs,
     retries, partitionings and the SQL oracle (``md5_number_upper``).
-    One streaming filter pass; emits the hash bucket as evidence."""
+    One streaming filter pass; emits the hash bucket as evidence.
+
+    ``fast_hash=True`` (integer keys only) swaps the per-key md5 for a
+    vectorized splitmix64 bucket — the 100-TB path when DuckDB-oracle
+    parity isn't needed; equally deterministic and uniform."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        bucket = np.fromiter(
-            (stable_bucket_u64(str(k)) % 100 for k in batch[key_col].to_pylist()),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
+        if fast_hash:
+            keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            bucket = (_splitmix64(keys) % np.uint64(100)).astype(np.int64)
+        else:
+            bucket = np.fromiter(
+                (stable_bucket_u64(str(k)) % 100 for k in batch[key_col].to_pylist()),
+                dtype=np.int64,
+                count=batch.num_rows,
+            )
         rate = np.fromiter(
             (rates_pct.get(s, default_pct) for s in batch[stratum_col].to_pylist()),
             dtype=np.int64,
@@ -206,11 +344,7 @@ def pack_sequences(
 
     def count_batch(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        ntok = np.fromiter(
-            (len(_tokens(t)) for t in batch[text_col].to_pylist()),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
+        ntok = _token_counts(batch[text_col])
         return pa.table(
             {
                 id_col: pa.array(ids, pa.int64()),
@@ -267,33 +401,66 @@ def pack_sequences(
 # ---------------------------------------------------------------------------
 
 
+def _per_doc_distinct(doc: np.ndarray, key: np.ndarray, ndocs: int):
+    """For (doc, key) pairs: distinct keys per doc and the max
+    multiplicity of any key per doc.  Fast path packs (doc, key) into one
+    uint64 and does a single ``np.sort`` (~3-4x faster than the lexsort
+    indirection); falls back to lexsort when the packed width would
+    overflow 64 bits (needs key_max * ndocs ≳ 2^63 — a >4M-token batch
+    vocabulary, far past any sane batch size)."""
+    if len(doc) == 0:
+        z = np.zeros(ndocs, dtype=np.int64)
+        return z, z.copy()
+    key_max = int(key.max())
+    key_bits = max(key_max.bit_length(), 1)
+    if key_bits + max((ndocs - 1).bit_length(), 1) <= 63:
+        packed = np.sort(
+            (doc.astype(np.uint64) << np.uint64(key_bits)) | key.astype(np.uint64)
+        )
+        new_run = np.concatenate(([True], packed[1:] != packed[:-1]))
+        run_doc = (packed >> np.uint64(key_bits))[new_run].astype(np.int64)
+    else:
+        order = np.lexsort((key, doc))
+        d, k = doc[order], key[order]
+        new_run = np.concatenate(([True], (d[1:] != d[:-1]) | (k[1:] != k[:-1])))
+        run_doc = d[new_run]
+    run_start = np.flatnonzero(new_run)
+    run_len = np.diff(np.concatenate((run_start, [len(doc)])))
+    distinct = np.bincount(run_doc, minlength=ndocs).astype(np.int64)
+    top = np.zeros(ndocs, dtype=np.int64)
+    np.maximum.at(top, run_doc, run_len)
+    return distinct, top
+
+
 def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     """Within-document repetition counters, all integer-exact:
     n_tokens / n_distinct_tokens (duplicate-token fraction numerators),
     n_2grams / n_distinct_2grams, and top_2gram_count (occurrences of the
-    most frequent 2-gram — the Gopher top-n-gram-fraction numerator)."""
-    n_tok, n_dtok, n_2g, n_d2g, top2 = [], [], [], [], []
-    for t in batch["text"].to_pylist():
-        toks = _tokens(t)
-        n_tok.append(len(toks))
-        n_dtok.append(len(set(toks)))
-        if len(toks) >= 2:
-            gc = Counter(zip(toks, toks[1:]))
-            n_2g.append(len(toks) - 1)
-            n_d2g.append(len(gc))
-            top2.append(max(gc.values()))
-        else:
-            n_2g.append(0)
-            n_d2g.append(0)
-            top2.append(0)
+    most frequent 2-gram — the Gopher top-n-gram-fraction numerator).
+
+    Vectorized: distinctness runs over dictionary CODES (batch-local
+    int indices, exact — no hashing), 2-grams over packed code pairs;
+    per-doc aggregation is lexsort + run-length, never ``Counter``-per-row.
+    """
+    ndocs = batch.num_rows
+    codes, doc_idx, counts, uniq = _flat_token_codes(batch["text"])
+    n_distinct_tokens, _ = _per_doc_distinct(doc_idx, codes, ndocs)
+    # adjacent within-doc pairs as one int64 key, base = batch vocabulary
+    # size (keeps keys small so _per_doc_distinct's packed sort applies)
+    same_doc = doc_idx[1:] == doc_idx[:-1] if len(doc_idx) else np.zeros(0, dtype=bool)
+    pair_doc = doc_idx[:-1][same_doc]
+    vocab = np.int64(max(len(uniq), 1))
+    pair_key = codes[:-1][same_doc] * vocab + codes[1:][same_doc]
+    n_2grams = np.maximum(counts - 1, 0)
+    n_distinct_2grams, top_2gram_count = _per_doc_distinct(pair_doc, pair_key, ndocs)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "n_tokens": pa.array(n_tok, pa.int64()),
-            "n_distinct_tokens": pa.array(n_dtok, pa.int64()),
-            "n_2grams": pa.array(n_2g, pa.int64()),
-            "n_distinct_2grams": pa.array(n_d2g, pa.int64()),
-            "top_2gram_count": pa.array(top2, pa.int64()),
+            "n_tokens": pa.array(counts, pa.int64()),
+            "n_distinct_tokens": pa.array(n_distinct_tokens, pa.int64()),
+            "n_2grams": pa.array(n_2grams, pa.int64()),
+            "n_distinct_2grams": pa.array(n_distinct_2grams, pa.int64()),
+            "top_2gram_count": pa.array(top_2gram_count, pa.int64()),
         }
     )
 

@@ -13,6 +13,12 @@ import pytest
 
 from scoobie_ray.ops.curation import (
     Decontaminator,
+    _flat_token_codes,
+    _split_flat,
+    _token_counts,
+    _unique_token_hashes,
+    _window_gram_hashes,
+    benchmark_gram_hashes,
     benchmark_ngram_set,
     decontaminate,
     pack_sequences,
@@ -21,6 +27,46 @@ from scoobie_ray.ops.curation import (
     sample_stratified,
     stable_bucket_u64,
 )
+
+TRICKY_TEXTS = [
+    "a b  c",
+    "  x y ",
+    "",
+    "   ",
+    None,
+    "one",
+    "a\tb\nc  d",
+    "héllo wörld héllo",
+    "日本 語 日本 語 日本",
+    "a a a a a",
+]
+
+
+def test_split_flat_matches_str_split():
+    flat, doc_idx, counts = _split_flat(pa.array(TRICKY_TEXTS, pa.string()))
+    toks = flat.to_pylist()
+    expect = [(t or "").split() for t in TRICKY_TEXTS]
+    assert counts.tolist() == [len(e) for e in expect]
+    got = [[] for _ in TRICKY_TEXTS]
+    for d, tok in zip(doc_idx, toks):
+        got[d].append(tok)
+    assert got == expect
+
+
+def test_window_gram_hashes_match_string_grams():
+    # hash equality across docs must mirror string-gram equality
+    texts = ["a b c d", "x a b c", "b c d a", "a b"]
+    codes, doc_idx, counts, uniq = _flat_token_codes(pa.array(texts, pa.string()))
+    g, gdoc, m = _window_gram_hashes(_unique_token_hashes(uniq)[codes], counts, 3)
+    assert m.tolist() == [2, 2, 2, 0]
+    by_doc = {}
+    for h, d in zip(g, gdoc):
+        by_doc.setdefault(int(d), []).append(int(h))
+    # "a b c" appears in docs 0 and 1; "b c d" in docs 0 and 2
+    assert by_doc[0][0] == by_doc[1][1]
+    assert by_doc[0][1] == by_doc[2][0]
+    # all six distinct string grams → check no spurious equality
+    assert len({*by_doc[0], *by_doc[1], *by_doc[2]}) == 4
 
 
 def _docs_ds(rows):
@@ -72,6 +118,48 @@ def test_decontaminator_accepts_plain_set():
     d = Decontaminator(frozenset({"a b"}), n=2)
     out = d(pa.table({"doc_id": pa.array([7], pa.int64()), "text": ["a b c"]}))
     assert out["n_hits"].to_pylist() == [1]
+
+
+def test_decontaminator_matches_naive_on_tricky_texts(ray_session):
+    texts = [t for t in TRICKY_TEXTS if t is not None]
+    bench = _docs_ds([(100, "a b  c"), (101, "héllo wörld"), (102, "日本 語")])
+    hashes = benchmark_gram_hashes(bench, n=2)
+    grams = benchmark_ngram_set(bench, n=2)
+    d = Decontaminator(hashes, n=2)
+    out = d(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    for i, t in enumerate(texts):
+        toks = (t or "").split()
+        m = max(0, len(toks) - 1)
+        naive = sum(
+            1 for j in range(m) if " ".join(toks[j : j + 2]) in grams
+        )
+        assert out["n_grams"][i].as_py() == m, t
+        assert out["n_hits"][i].as_py() == naive, t
+
+
+def test_sample_stratified_fast_hash(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(300)), pa.int64()),
+            "lang": pa.array(["en", "es", "de"] * 100, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out1 = sample_stratified(ds, {"en": 50}, default_pct=20, fast_hash=True).to_pandas()
+    out2 = sample_stratified(ds, {"en": 50}, default_pct=20, fast_hash=True).to_pandas()
+    assert sorted(out1["doc_id"]) == sorted(out2["doc_id"])
+    rate = out1["lang"].map({"en": 50}).fillna(20)
+    assert (out1["bucket"] < rate).all()
+    assert 0 < len(out1) < 300
 
 
 # ---------------------------------------------------------------------------
@@ -171,3 +259,29 @@ def test_repetition_stats_batch_counts():
 def test_repetition_stats_dataset(ray_session):
     out = repetition_stats(_docs_ds([(1, "w w w")])).to_pandas()
     assert out.loc[0, "top_2gram_count"] == 2
+
+
+def test_repetition_stats_matches_naive_on_tricky_texts():
+    from collections import Counter
+
+    out = repetition_stats_batch(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(TRICKY_TEXTS))), pa.int64()),
+                "text": pa.array(TRICKY_TEXTS, pa.string()),
+            }
+        )
+    )
+    for i, t in enumerate(TRICKY_TEXTS):
+        toks = (t or "").split()
+        gc = Counter(zip(toks, toks[1:]))
+        assert out["n_tokens"][i].as_py() == len(toks), t
+        assert out["n_distinct_tokens"][i].as_py() == len(set(toks)), t
+        assert out["n_2grams"][i].as_py() == max(0, len(toks) - 1), t
+        assert out["n_distinct_2grams"][i].as_py() == len(gc), t
+        assert out["top_2gram_count"][i].as_py() == (max(gc.values()) if gc else 0), t
+
+
+def test_token_counts_tricky():
+    counts = _token_counts(pa.array(TRICKY_TEXTS, pa.string()))
+    assert counts.tolist() == [len((t or "").split()) for t in TRICKY_TEXTS]
