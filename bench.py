@@ -190,6 +190,29 @@ def run_bench() -> dict:
     ).count()
     queries["curate"] = round(time.time() - t0, 3)
 
+    # curation ops: decontamination (broadcast gram set + streaming pass)
+    # and sequence packing (distributed prefix sum)
+    import pyarrow as pa
+
+    from scoobie_ray.ops.curation import decontaminate, pack_sequences
+
+    def _bench_slice(b):
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 37 == 0))
+
+    docs_ds = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    t0 = time.time()
+    decontaminate(
+        docs_ds, docs_ds.map_batches(_bench_slice, batch_format="pyarrow"), n=8
+    ).count()
+    queries["decontaminate"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    pack_sequences(docs_ds, budget=256).count()
+    queries["pack_sequences"] = round(time.time() - t0, 3)
+
     # persisted-LSH ANN: build the bucket-partitioned index + serve 3 queries
     import tempfile
 
