@@ -115,6 +115,88 @@ def _q_repetition_stats(sf_dir: str):
     return repetition_stats(_documents(sf_dir))
 
 
+def _q_events_last_order(sf_dir: str):
+    """Backward as-of join (>=): each event picks the user's latest order
+    at event time; emits the matched order date as epoch-days (-1 none)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from scoobie_ray.relational.asof import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    od = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    out = asof_join(
+        ev,
+        od,
+        left_key="user_id",
+        left_ts="ts",
+        right_key="o_custkey",
+        right_ts="o_orderdate",
+        carry=["event_id"],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        ats = b["asof_ts"].to_numpy(zero_copy_only=False)
+        day = np.where(ats >= 0, ats // 86_400_000_000, -1)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["_key"],
+                "last_order_day": pa.array(day, pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_events_last_touch(sf_dir: str):
+    """Strict (<) as-of self-join with interleaved timestamps: each event
+    picks the same user's latest strictly-earlier 'click' (epoch-us)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from scoobie_ray.relational.asof import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    clicks = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "click")).drop_columns(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = asof_join(
+        ev,
+        clicks,
+        left_key="user_id",
+        left_ts="ts",
+        right_key="user_id",
+        right_ts="ts",
+        carry=["event_id"],
+        strict=True,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["_key"],
+                "last_click_us": b["asof_ts"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_fingerprint(sf_dir: str):
     from scoobie_ray.ops.text import fingerprint_batch
 
@@ -686,6 +768,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": _q_sample_stratified,
         "pack_sequences": _q_pack_sequences,
         "repetition_stats": _q_repetition_stats,
+        "events_last_order": _q_events_last_order,
+        "events_last_touch": _q_events_last_touch,
         "np_chunks": _q_np_chunks,
         "kg_rated": _q_kg_rated,
         # --- relational surface ---

@@ -1114,3 +1114,25 @@ SELECT d.doc_id,
        CAST(COALESCE(gs.top_2gram_count, 0) AS BIGINT) AS top_2gram_count
 FROM d JOIN ts USING (doc_id) LEFT JOIN gs USING (doc_id)
 """
+
+# ---- as-of join oracles (relational/asof.py) -------------------------------
+# Backward as-of join: DuckDB's native ASOF JOIN is the oracle.  The
+# engine emits the matched right-TIMESTAMP value (not a row id), which is
+# deterministic even when several right rows tie on (key, ts).
+ORACLES["events_last_order"] = r"""
+SELECT e.event_id, e.user_id,
+       CAST(COALESCE(epoch_us(o.o_orderdate) // 86400000000, -1) AS BIGINT)
+         AS last_order_day
+FROM events e ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+# strict (<) variant with genuinely interleaved timestamps: for every
+# event, the same user's latest strictly-earlier 'click'.
+ORACLES["events_last_touch"] = r"""
+SELECT e.event_id, e.user_id,
+       CAST(COALESCE(epoch_us(c.ts), -1) AS BIGINT) AS last_click_us
+FROM events e ASOF LEFT JOIN
+  (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts > c.ts
+"""
