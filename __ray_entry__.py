@@ -197,6 +197,25 @@ def _q_events_last_touch(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_events_window(sf_dir: str):
+    """Trailing 1-hour windowed count per user (SQL RANGE window) via the
+    hash-partitioned composite-searchsorted kernel."""
+    import ray.data
+
+    from scoobie_ray.relational.window import rolling_count
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return rolling_count(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        window_us=3_600_000_000,
+        carry=["event_id"],
+    )
+
+
 def _q_fingerprint(sf_dir: str):
     from scoobie_ray.ops.text import fingerprint_batch
 
@@ -770,6 +789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "events_last_order": _q_events_last_order,
         "events_last_touch": _q_events_last_touch,
+        "events_window": _q_events_window,
         "np_chunks": _q_np_chunks,
         "kg_rated": _q_kg_rated,
         # --- relational surface ---

@@ -1136,3 +1136,16 @@ FROM events e ASOF LEFT JOIN
   (SELECT user_id, ts FROM events WHERE event_type = 'click') c
   ON e.user_id = c.user_id AND e.ts > c.ts
 """
+
+# ---- windowed aggregate oracle (relational/window.py) ----------------------
+# Trailing-range window count per key; the engine's composite-searchsorted
+# kernel uses an inclusive [ts - 1h, ts] window with side="right" peer
+# counting, exactly SQL's RANGE ... CURRENT ROW.
+ORACLES["events_window"] = r"""
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS w_count
+FROM events
+"""

@@ -1,0 +1,62 @@
+"""Unit tests for the trailing-range windowed count (relational/window.py).
+
+The driver-facing contract (events_window vs DuckDB's RANGE window) is
+gated by tools/check_correctness.py; these pin the kernel semantics —
+inclusive [ts-W, ts] bound, peer-row counting under ties, partition
+independence — on planted inputs.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+from scoobie_ray.relational.window import rolling_count
+
+
+def _ds(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                c: pa.array([r[i] for r in rows], pa.int64())
+                for i, c in enumerate(["k", "t", "event_id"])
+            }
+        )
+    )
+
+
+def _run(ds, window, **kw):
+    out = rolling_count(
+        ds, key_col="k", ts_col="t", window_us=window, carry=["event_id"], **kw
+    ).to_pandas()
+    return {int(e): int(c) for e, c in zip(out["event_id"], out["w_count"])}
+
+
+def test_window_basic_inclusive_bound(ray_session):
+    # key 1: ts 0, 5, 10, 16 with W=10 — ts=10's window [0,10] includes
+    # ts=0 (inclusive bound); ts=16's window [6,16] keeps only ts=10
+    got = _run(_ds([(1, 0, 0), (1, 5, 1), (1, 10, 2), (1, 16, 3)]), 10)
+    assert got == {0: 1, 1: 2, 2: 3, 3: 2}
+
+
+def test_window_ties_count_all_peers(ray_session):
+    # SQL RANGE ... CURRENT ROW counts every peer with an equal ts, for
+    # BOTH tied rows
+    got = _run(_ds([(1, 10, 0), (1, 10, 1), (1, 25, 2)]), 5)
+    assert got == {0: 2, 1: 2, 2: 1}
+
+
+def test_window_keys_independent(ray_session):
+    got = _run(_ds([(1, 10, 0), (2, 10, 1), (2, 11, 2)]), 100)
+    assert got == {0: 1, 1: 1, 2: 2}
+
+
+def test_window_matches_naive_on_random(ray_session):
+    rng = np.random.default_rng(11)
+    k = rng.integers(0, 15, 400)
+    t = rng.integers(0, 500, 400)
+    W = 40
+    got = _run(_ds(list(zip(k, t, range(400)))), W, num_partitions=5)
+    for i, (ki, ti) in enumerate(zip(k, t)):
+        want = int(np.sum((k == ki) & (t >= ti - W) & (t <= ti)))
+        assert got[i] == want, (i, ki, ti)
