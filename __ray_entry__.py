@@ -216,6 +216,52 @@ def _q_events_window(sf_dir: str):
     )
 
 
+def _q_events_click_window(sf_dir: str):
+    """Range (interval) join: each 'click' opens a 1-hour half-open window;
+    count the same user's events inside it (the click itself included)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from scoobie_ray.relational.range_join import range_count_join
+
+    HOUR_US = 3_600_000_000
+
+    def clicks_prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], "click"))
+        start = pc.cast(b["ts"], pa.int64())
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "w_start": start,
+                "w_end": pc.add(start, HOUR_US),
+            }
+        )
+
+    clicks = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    ).map_batches(clicks_prep, batch_format="pyarrow")
+    points = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    out = range_count_join(
+        clicks,
+        points,
+        interval_key="user_id",
+        start_col="w_start",
+        end_col="w_end",
+        point_key="user_id",
+        point_ts="ts",
+        carry=["event_id"],
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["event_id", "user_id", "n_events"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_fingerprint(sf_dir: str):
     from scoobie_ray.ops.text import fingerprint_batch
 
@@ -790,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_order": _q_events_last_order,
         "events_last_touch": _q_events_last_touch,
         "events_window": _q_events_window,
+        "events_click_window": _q_events_click_window,
         "np_chunks": _q_np_chunks,
         "kg_rated": _q_kg_rated,
         # --- relational surface ---

@@ -1141,6 +1141,19 @@ FROM events e ASOF LEFT JOIN
 # Trailing-range window count per key; the engine's composite-searchsorted
 # kernel uses an inclusive [ts - 1h, ts] window with side="right" peer
 # counting, exactly SQL's RANGE ... CURRENT ROW.
+# Range (interval) join (relational/range_join.py): every 'click' event
+# opens a half-open 1-hour window; count the same user's events in it.
+ORACLES["events_click_window"] = r"""
+SELECT c.event_id, c.user_id,
+       CAST(COUNT(e2.ts) AS BIGINT) AS n_events
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+LEFT JOIN events e2
+  ON e2.user_id = c.user_id
+ AND e2.ts >= c.ts
+ AND e2.ts < c.ts + INTERVAL 1 HOUR
+GROUP BY 1, 2
+"""
+
 ORACLES["events_window"] = r"""
 SELECT event_id, user_id,
        CAST(COUNT(*) OVER (
