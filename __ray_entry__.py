@@ -262,6 +262,50 @@ def _q_events_click_window(sf_dir: str):
     )
 
 
+def _q_top_tokens(sf_dir: str):
+    """Exact corpus word frequency top-20 (combiner-first shuffle of
+    (token, partial-count) rows; deterministic tie-break)."""
+    from scoobie_ray.ops.sketch import top_k_tokens
+
+    return top_k_tokens(_documents(sf_dir), 20)
+
+
+def _q_len_quantiles(sf_dir: str):
+    """Exact discrete char-length quantiles via distributed histogram
+    (DuckDB quantile_disc semantics)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from scoobie_ray.ops.sketch import quantiles_disc
+
+    lens = _documents(sf_dir).map_batches(
+        lambda b: pa.table(
+            {"n_chars": pc.cast(pc.utf8_length(b["text"]), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return quantiles_disc(lens, "n_chars", [0.1, 0.25, 0.5, 0.75, 0.9])
+
+
+def _q_vocab_distinct(sf_dir: str):
+    """Exact distinct-token count plus a deterministic-HLL bounded gate:
+    the p=14 splitmix64 HLL estimate must land within 2% of exact."""
+    import pyarrow as pa
+
+    from scoobie_ray.ops.sketch import hll_distinct, token_counts
+
+    docs = _documents(sf_dir)
+    exact = token_counts(docs).count()
+    est = hll_distinct(docs)
+    ok = abs(est - exact) <= 0.02 * exact
+    return pa.table(
+        {
+            "n_distinct": pa.array([exact], pa.int64()),
+            "hll_within_2pct": pa.array([bool(ok)], pa.bool_()),
+        }
+    )
+
+
 def _q_fingerprint(sf_dir: str):
     from scoobie_ray.ops.text import fingerprint_batch
 
@@ -837,6 +881,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_touch": _q_events_last_touch,
         "events_window": _q_events_window,
         "events_click_window": _q_events_click_window,
+        "top_tokens": _q_top_tokens,
+        "len_quantiles": _q_len_quantiles,
+        "vocab_distinct": _q_vocab_distinct,
         "np_chunks": _q_np_chunks,
         "kg_rated": _q_kg_rated,
         # --- relational surface ---

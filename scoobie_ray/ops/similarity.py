@@ -66,7 +66,7 @@ def _topk_fn(queries_payload, k: int, id_col: str = "vec_id", vec_col: str = "em
         query_ids, qmat = payload
         qmat = _normalize(np.asarray(qmat, dtype=np.float64)).T  # dim x nq
         vecs = _normalize(_as_matrix(batch[vec_col]))
-        ids = np.asarray(batch[id_col].to_pylist())
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
         scores = vecs @ qmat  # n x nq
         kk = min(k, len(ids))
         out_q, out_v, out_s = [], [], []

@@ -1,0 +1,170 @@
+"""Sketch / corpus-statistics operators — combiner-first shapes.
+
+The 100-TB statistics a curation pipeline needs over a corpus column:
+
+- ``token_counts`` — exact corpus word frequency.  Per-batch Arrow
+  ``split_whitespace -> list_flatten -> value_counts`` combiner, then ONE
+  ``groupby(token).sum`` shuffle of (token, partial-count) rows — the
+  corpus text itself never rides a shuffle.
+- ``top_k_tokens`` — frequency top-k with a deterministic (n desc, token
+  asc) tie-break so results are oracle-hashable.
+- ``quantiles_disc`` — exact discrete quantiles of a bounded-cardinality
+  int column via a distributed histogram (per-batch value_counts ->
+  groupby sum -> driver cumsum over the tiny histogram).  Index semantics
+  match DuckDB ``quantile_disc``: element at ``floor(q * (n-1))`` of the
+  sorted values (verified empirically, see tests).  Assumption: the
+  column's DISTINCT-value count is small (lengths, scores, sizes) — the
+  histogram, not the rows, is collected.
+- ``hll_distinct`` — deterministic HyperLogLog (splitmix64 hash, p=14)
+  distinct-token estimate.  Registers are (register, rank) rows reduced
+  by ``groupby(register).max`` — fully distributed, then a 16k-row
+  driver-side fold.  Deterministic hash => reproducible estimate, gated
+  in CORRECTNESS against the exact count with a relative-error bound
+  (same bounded-gate pattern as the ANN recall checks).
+
+No per-row Python anywhere: tokenization, hashing and register ranks are
+Arrow / numpy kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup import _splitmix64
+
+_HLL_P = 14
+_HLL_M = 1 << _HLL_P
+
+
+def _flat_tokens(batch: pa.Table, col: str) -> pa.Array:
+    """Whitespace tokens of a batch, empties removed (Arrow emits '' at
+    string boundaries, exactly like DuckDB's string_split_regex)."""
+    toks = pc.list_flatten(pc.utf8_split_whitespace(batch[col]))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    return toks.filter(pc.not_equal(toks, ""))
+
+
+def token_counts(ds, col: str = "text"):
+    """Exact corpus word frequency: Dataset of (token, n)."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        toks = _flat_tokens(batch, col)
+        vc = toks.value_counts()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("token")
+        .sum("n")
+        .map_batches(
+            lambda b: b.rename_columns(["token", "n"]), batch_format="pyarrow"
+        )
+    )
+
+
+def top_k_tokens(ds, k: int, col: str = "text"):
+    """Top-k corpus tokens, ties broken by token asc (deterministic)."""
+    counts = token_counts(ds, col)
+    return counts.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def quantiles_disc(ds, col: str, qs: list[float]):
+    """Exact discrete quantiles via a distributed histogram.
+
+    Returns a pyarrow Table (q_pct int64, val int64), one row per q.
+    """
+
+    def local(batch: pa.Table) -> pa.Table:
+        vc = pc.cast(batch[col], pa.int64()).value_counts()
+        return pa.table(
+            {
+                "value": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("value")
+        .sum("n")
+        .to_pandas()  # tiny: one row per distinct value
+    )
+    hist = hist.sort_values("value")
+    vals = hist["value"].to_numpy()
+    cum = hist["sum(n)"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        # DuckDB quantile_disc: sorted[floor(q * (n-1))]
+        rank = int(np.floor(q * (n - 1) + 1e-9)) if n else 0
+        idx = int(np.searchsorted(cum, rank + 1, side="left"))
+        out_q.append(int(round(q * 100)))
+        out_v.append(int(vals[idx]) if n else -1)
+    return pa.table(
+        {"q_pct": pa.array(out_q, pa.int64()), "val": pa.array(out_v, pa.int64())}
+    )
+
+
+def _hll_registers(hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(register, rank) for uint64 hashes: register = top p bits, rank =
+    1 + leading zeros of the remaining 64-p bits (capped at 64-p+1)."""
+    reg = (hashes >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rest = hashes << np.uint64(_HLL_P)  # remaining bits, left-aligned
+    # leading zeros via bit_length: lz = 64 - bit_length(rest)
+    # numpy has no clz; use float64 exponent trick safe for uint64
+    bl = np.zeros(len(rest), dtype=np.int64)
+    nz = rest > 0
+    # bit_length(x) = floor(log2(x)) + 1, computed exactly via frexp on
+    # the top 53 bits (values here are top-aligned so no precision loss
+    # changes the exponent)
+    bl[nz] = np.frexp(rest[nz].astype(np.float64))[1]
+    rank = np.where(nz, 64 - bl + 1, 64 - _HLL_P + 1).astype(np.int64)
+    return reg, np.minimum(rank, 64 - _HLL_P + 1)
+
+
+def hll_distinct(ds, col: str = "text", *, tokens: bool = True) -> float:
+    """Deterministic HLL distinct estimate over tokens (or raw values)."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        arr = _flat_tokens(batch, col) if tokens else batch[col]
+        uniq = pc.unique(arr)  # HLL is duplicate-insensitive; dedup early
+        # vectorized string hashing (offsets/data buffers viewed as numpy)
+        from scoobie_ray.util import hash_string_array_u64
+
+        h = hash_string_array_u64(uniq)
+        reg, rank = _hll_registers(_splitmix64(h))
+        # batch-local register max before the shuffle (combiner)
+        order = np.lexsort((-rank, reg))
+        reg_s, rank_s = reg[order], rank[order]
+        first = np.concatenate(([True], reg_s[1:] != reg_s[:-1]))
+        return pa.table(
+            {
+                "register": pa.array(reg_s[first], pa.int64()),
+                "rank": pa.array(rank_s[first], pa.int64()),
+            }
+        )
+
+    regs = (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("register")
+        .max("rank")
+        .to_pandas()  # <= 16384 rows
+    )
+    m = _HLL_M
+    M = np.zeros(m, dtype=np.float64)
+    if len(regs):
+        M[regs["register"].to_numpy()] = regs["max(rank)"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-M))
+    zeros = int(np.sum(M == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear-counting small-range fix
+    return float(est)

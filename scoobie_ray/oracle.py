@@ -1162,3 +1162,44 @@ SELECT event_id, user_id,
        ) AS BIGINT) AS w_count
 FROM events
 """
+
+# ---- sketch / corpus-statistics oracles (ops/sketch.py) --------------------
+# Tokenization parity: Arrow utf8_split_whitespace and DuckDB
+# string_split_regex('\s+') both emit '' at string boundaries; both sides
+# drop empty tokens.  ASCII fixture texts are gated by
+# test_oracle_fixture_invariants, so char and byte tokenization agree.
+ORACLES["top_tokens"] = r"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY 1
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+# quantile_disc returns sorted[floor(q * (n-1))] — the engine's
+# distributed-histogram kernel replicates that index exactly.
+ORACLES["len_quantiles"] = r"""
+SELECT * FROM (
+  SELECT 10 AS q_pct, CAST(quantile_disc(length(text), 0.10) AS BIGINT) AS val FROM documents
+  UNION ALL
+  SELECT 25, CAST(quantile_disc(length(text), 0.25) AS BIGINT) FROM documents
+  UNION ALL
+  SELECT 50, CAST(quantile_disc(length(text), 0.50) AS BIGINT) FROM documents
+  UNION ALL
+  SELECT 75, CAST(quantile_disc(length(text), 0.75) AS BIGINT) FROM documents
+  UNION ALL
+  SELECT 90, CAST(quantile_disc(length(text), 0.90) AS BIGINT) FROM documents
+) ORDER BY q_pct
+"""
+
+# Exact distinct tokens; the engine side ALSO runs its deterministic
+# p=14 splitmix64 HyperLogLog and asserts the estimate lands within 2%
+# (the TRUE constant here makes the bounded gate hash-checkable, the
+# same pattern as the ANN recall gates).
+ORACLES["vocab_distinct"] = r"""
+SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct,
+       TRUE AS hll_within_2pct
+FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+WHERE token <> ''
+"""

@@ -1,0 +1,97 @@
+"""Unit tests for the sketch / corpus-statistics ops (ops/sketch.py).
+
+The driver-facing contracts (top_tokens / len_quantiles /
+vocab_distinct vs DuckDB) are gated by tools/check_correctness.py;
+these pin the kernel semantics — quantile_disc index parity, HLL
+accuracy in the real estimation regime (beyond the fixture's tiny
+vocabulary), combiner correctness across many blocks.
+"""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+from scoobie_ray.ops.sketch import (
+    _hll_registers,
+    hll_distinct,
+    quantiles_disc,
+    token_counts,
+    top_k_tokens,
+)
+
+
+def _docs_ds(texts, parallelism=4):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table({"text": pa.array(texts, pa.string())})
+    ).repartition(parallelism)
+
+
+def test_token_counts_match_duckdb(ray_session):
+    texts = ["a b  a", " c a ", "", "b\tb\nc", "  "]
+    got = token_counts(_docs_ds(texts)).to_pandas()
+    want = duckdb.sql(
+        r"""
+        SELECT token, CAST(COUNT(*) AS BIGINT) n
+        FROM (SELECT unnest(string_split_regex(text, '\s+')) token
+              FROM (SELECT unnest(?) AS text))
+        WHERE token <> '' GROUP BY 1
+        """,
+        params=[texts],
+    ).fetchdf()
+    assert sorted(map(tuple, got.values.tolist())) == sorted(
+        map(tuple, want.values.tolist())
+    )
+
+
+def test_top_k_deterministic_tie_break(ray_session):
+    # b and c tie at 2; token-asc breaks the tie
+    got = top_k_tokens(_docs_ds(["a a a", "b b", "c c"]), 2).to_pandas()
+    assert got.values.tolist() == [["a", 3], ["b", 2]]
+
+
+def test_quantiles_match_duckdb_index_semantics(ray_session):
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 50, 1001).tolist()
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(vals, pa.int64())})
+    ).repartition(6)
+    qs = [0.0, 0.1, 0.33, 0.5, 0.66, 0.9, 1.0]
+    got = quantiles_disc(ds, "v", qs).to_pandas()
+    want = [
+        duckdb.sql(
+            "SELECT quantile_disc(v, ?) FROM (SELECT unnest(?) AS v)",
+            params=[q, vals],
+        ).fetchone()[0]
+        for q in qs
+    ]
+    assert got["val"].tolist() == want
+
+
+def test_hll_accurate_in_estimation_regime(ray_session):
+    # 200k distinct tokens — far past linear counting; p=14 gives a
+    # ~0.8% standard error, so 3% is a generous determinism-safe bound
+    texts = [
+        " ".join(f"tok{i}" for i in range(j, j + 100))
+        for j in range(0, 200_000, 100)
+    ]
+    ds = _docs_ds(texts, parallelism=8)
+    est = hll_distinct(ds)
+    assert abs(est - 200_000) / 200_000 < 0.03, est
+
+
+def test_hll_register_ranks():
+    # top-14 bits -> register; rank = leading zeros of the rest + 1
+    h = np.array(
+        [0x0000000000000000, 0xFFFFFFFFFFFFFFFF, 1 << 50, 1 << 49],
+        dtype=np.uint64,
+    )
+    reg, rank = _hll_registers(h)
+    assert reg.tolist() == [0, (1 << 14) - 1, 1, 0]
+    # 0 -> all 50 remaining bits zero -> max rank 51; all-ones -> rank 1;
+    # 1<<50 -> register 1 with zero remainder (left-shift wraps) -> 51;
+    # 1<<49 -> remainder's top bit set -> rank 1
+    assert rank.tolist() == [51, 1, 51, 1]
