@@ -238,6 +238,22 @@ def run_bench() -> dict:
     events_hourly(SF_DIR).count()
     queries["events_hourly"] = round(time.time() - t0, 3)
 
+    # keyed-temporal operators (one hash shuffle + numpy kernels each):
+    # as-of join, trailing-range window count, interval count join
+    import __ray_entry__ as _entry
+
+    t0 = time.time()
+    _entry.queries()["events_last_order"](SF_DIR).count()
+    queries["asof_join"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    _entry.queries()["events_window"](SF_DIR).count()
+    queries["window_count"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    _entry.queries()["events_click_window"](SF_DIR).count()
+    queries["range_join"] = round(time.time() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "kg end-to-end wall sec (extract→link→canonicalize→materialize)",
