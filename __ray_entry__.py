@@ -262,6 +262,21 @@ def _q_events_click_window(sf_dir: str):
     )
 
 
+def _q_events_top3_by_user(sf_dir: str):
+    """Per-key top-N: each user's top-3 events by value (rank 1-based,
+    ties by event_id asc) — local top-N combiner + one hash shuffle."""
+    import ray.data
+
+    from scoobie_ray.relational.topk import per_key_topn
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    return per_key_topn(
+        ev, key_col="user_id", val_col="value", id_col="event_id", n=3
+    )
+
+
 def _q_top_tokens(sf_dir: str):
     """Exact corpus word frequency top-20 (combiner-first shuffle of
     (token, partial-count) rows; deterministic tie-break)."""
@@ -881,6 +896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_touch": _q_events_last_touch,
         "events_window": _q_events_window,
         "events_click_window": _q_events_click_window,
+        "events_top3_by_user": _q_events_top3_by_user,
         "top_tokens": _q_top_tokens,
         "len_quantiles": _q_len_quantiles,
         "vocab_distinct": _q_vocab_distinct,

@@ -1163,6 +1163,20 @@ SELECT event_id, user_id,
 FROM events
 """
 
+# Per-key top-N (relational/topk.py): each user's top-3 events by value,
+# 1-based rank, deterministic (value DESC, event_id ASC) tie-break.
+ORACLES["events_top3_by_user"] = r"""
+SELECT user_id, event_id, CAST(rn AS BIGINT) AS rnk
+FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY value DESC, event_id ASC
+         ) AS rn
+  FROM events
+)
+WHERE rn <= 3
+"""
+
 # ---- sketch / corpus-statistics oracles (ops/sketch.py) --------------------
 # Tokenization parity: Arrow utf8_split_whitespace and DuckDB
 # string_split_regex('\s+') both emit '' at string boundaries; both sides
