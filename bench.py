@@ -254,6 +254,13 @@ def run_bench() -> dict:
     _entry.queries()["events_click_window"](SF_DIR).count()
     queries["range_join"] = round(time.time() - t0, 3)
 
+    # sketch layer: exact corpus token frequency (combiner-first shuffle)
+    from scoobie_ray.ops.sketch import top_k_tokens
+
+    t0 = time.time()
+    top_k_tokens(docs_ds, 20).to_pandas()
+    queries["top_tokens"] = round(time.time() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "kg end-to-end wall sec (extract→link→canonicalize→materialize)",
