@@ -31,6 +31,48 @@ def _docs_ds(sf_dir: str):
     return ray.data.from_arrow(kg_docs_table(sf_dir))
 
 
+def _explode_mentions(lits: pa.Array):
+    """Vectorized mention explode: one output row per (doc, mention),
+    literal indexes decoded against the KB dictionary via ``pc.take`` —
+    no per-row Python."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        parent = pc.list_parent_indices(t["mention_start"])
+        return pa.table(
+            {
+                "doc_id": pc.take(t["doc_id"], parent),
+                "m_start": pc.cast(pc.list_flatten(t["mention_start"]), pa.int64()),
+                "m_end": pc.cast(pc.list_flatten(t["mention_end"]), pa.int64()),
+                "literal": pc.take(lits, pc.list_flatten(t["mention_literal"])),
+            }
+        )
+
+    return explode
+
+
+def _explode_distinct_subjects(uris: pa.Array, col: str):
+    """Vectorized per-doc DISTINCT subject explode (Arrow group_by on
+    (row, subject) pairs replaces the per-row sorted(set()) loop; the
+    oracle hash is order-insensitive)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        parent = pc.list_parent_indices(t[col])
+        flat = pc.list_flatten(t[col])
+        pairs = (
+            pa.table({"p": parent, "s": flat}).group_by(["p", "s"]).aggregate([])
+        )
+        return pa.table(
+            {
+                "doc_id": pc.take(t["doc_id"], pairs["p"]),
+                "subj": pc.take(uris, pairs["s"]),
+            }
+        )
+
+    return explode
+
+
 def _kb_and_ref(sf_dir: str):
     import ray
 
@@ -40,7 +82,6 @@ def _kb_and_ref(sf_dir: str):
 
 def kg_spot(sf_dir: str):
     kb, kb_ref = _kb_and_ref(sf_dir)
-    lits = kb.literals["literal"].to_pylist()
 
     spotted = _docs_ds(sf_dir).map_batches(
         Spotter,
@@ -48,30 +89,10 @@ def kg_spot(sf_dir: str):
         batch_format="pyarrow",
         concurrency=autoscale_concurrency(cap=8),
     )
-
-    def explode(t: pa.Table) -> pa.Table:
-        d, s_, e_, l_ = [], [], [], []
-        for doc_id, ss, es, ls in zip(
-            t["doc_id"].to_pylist(),
-            t["mention_start"].to_pylist(),
-            t["mention_end"].to_pylist(),
-            t["mention_literal"].to_pylist(),
-        ):
-            for s, e, li in zip(ss, es, ls):
-                d.append(doc_id)
-                s_.append(s)
-                e_.append(e)
-                l_.append(lits[li])
-        return pa.table(
-            {
-                "doc_id": pa.array(d, pa.string()),
-                "m_start": pa.array(s_, pa.int64()),
-                "m_end": pa.array(e_, pa.int64()),
-                "literal": pa.array(l_, pa.string()),
-            }
-        )
-
-    return spotted.map_batches(explode, batch_format="pyarrow")
+    return spotted.map_batches(
+        _explode_mentions(kb.literals["literal"].combine_chunks()),
+        batch_format="pyarrow",
+    )
 
 
 def kg_spot_ci(sf_dir: str):
@@ -104,42 +125,20 @@ def kg_spot_ci(sf_dir: str):
 
     kb = kg_kb(sf_dir)
     kb_ref = ray.put(kb.tables())
-    lits = kb.literals["literal"].to_pylist()
     spotted = docs.map_batches(
         Spotter,
         fn_constructor_kwargs={"kb": kb_ref, "config": SpotConfig(case_sensitive=False)},
         batch_format="pyarrow",
         concurrency=autoscale_concurrency(cap=8),
     )
-
-    def explode(t: pa.Table) -> pa.Table:
-        d, s_, e_, l_ = [], [], [], []
-        for doc_id, ss, es, ls in zip(
-            t["doc_id"].to_pylist(),
-            t["mention_start"].to_pylist(),
-            t["mention_end"].to_pylist(),
-            t["mention_literal"].to_pylist(),
-        ):
-            for s, e, li in zip(ss, es, ls):
-                d.append(doc_id)
-                s_.append(s)
-                e_.append(e)
-                l_.append(lits[li])
-        return pa.table(
-            {
-                "doc_id": pa.array(d, pa.string()),
-                "m_start": pa.array(s_, pa.int64()),
-                "m_end": pa.array(e_, pa.int64()),
-                "literal": pa.array(l_, pa.string()),
-            }
-        )
-
-    return spotted.map_batches(explode, batch_format="pyarrow")
+    return spotted.map_batches(
+        _explode_mentions(kb.literals["literal"].combine_chunks()),
+        batch_format="pyarrow",
+    )
 
 
 def kg_candidates(sf_dir: str):
     kb, kb_ref = _kb_and_ref(sf_dir)
-    uris = kb.resources["uri"].to_pylist()
 
     ds = _docs_ds(sf_dir).map_batches(
         Spotter, fn_constructor_kwargs={"kb": kb_ref}, batch_format="pyarrow",
@@ -148,20 +147,10 @@ def kg_candidates(sf_dir: str):
         Linker, fn_constructor_kwargs={"kb": kb_ref}, batch_format="pyarrow",
         concurrency=autoscale_concurrency(cap=8),
     )
-
-    def explode(t: pa.Table) -> pa.Table:
-        d, s_ = [], []
-        for doc_id, subs in zip(
-            t["doc_id"].to_pylist(), t["cand_subj"].to_pylist()
-        ):
-            for s in sorted(set(subs)):
-                d.append(doc_id)
-                s_.append(uris[s])
-        return pa.table(
-            {"doc_id": pa.array(d, pa.string()), "subj": pa.array(s_, pa.string())}
-        )
-
-    return ds.map_batches(explode, batch_format="pyarrow")
+    return ds.map_batches(
+        _explode_distinct_subjects(kb.resources["uri"].combine_chunks(), "cand_subj"),
+        batch_format="pyarrow",
+    )
 
 
 def _annotated(sf_dir: str):
@@ -171,43 +160,24 @@ def _annotated(sf_dir: str):
 
 def kg_resolved(sf_dir: str):
     ds, kb = _annotated(sf_dir)
-    uris = kb.resources["uri"].to_pylist()
+    return ds.map_batches(
+        _explode_distinct_subjects(
+            kb.resources["uri"].combine_chunks(), "resolved_subj"
+        ),
+        batch_format="pyarrow",
+    )
 
+
+def _explode_triple_lists(ds, uris: pa.Array, s_col, p_col, o_col):
     def explode(t: pa.Table) -> pa.Table:
-        d, s_ = [], []
-        for doc_id, subs in zip(
-            t["doc_id"].to_pylist(), t["resolved_subj"].to_pylist()
-        ):
-            for s in sorted(set(subs)):
-                d.append(doc_id)
-                s_.append(uris[s])
-        return pa.table(
-            {"doc_id": pa.array(d, pa.string()), "subj": pa.array(s_, pa.string())}
-        )
-
-    return ds.map_batches(explode, batch_format="pyarrow")
-
-
-def _explode_triple_lists(ds, uris, s_col, p_col, o_col):
-    def explode(t: pa.Table) -> pa.Table:
-        d, s_, p_, o_ = [], [], [], []
-        for doc_id, ss, ps, os_ in zip(
-            t["doc_id"].to_pylist(),
-            t[s_col].to_pylist(),
-            t[p_col].to_pylist(),
-            t[o_col].to_pylist(),
-        ):
-            for s, p, o in zip(ss, ps, os_):
-                d.append(doc_id)
-                s_.append(uris[s])
-                p_.append(uris[p])
-                o_.append(uris[o])
+        t = t.combine_chunks()
+        parent = pc.list_parent_indices(t[s_col])
         return pa.table(
             {
-                "doc_id": pa.array(d, pa.string()),
-                "subj": pa.array(s_, pa.string()),
-                "pred": pa.array(p_, pa.string()),
-                "obj": pa.array(o_, pa.string()),
+                "doc_id": pc.take(t["doc_id"], parent),
+                "subj": pc.take(uris, pc.list_flatten(t[s_col])),
+                "pred": pc.take(uris, pc.list_flatten(t[p_col])),
+                "obj": pc.take(uris, pc.list_flatten(t[o_col])),
             }
         )
 
@@ -216,13 +186,13 @@ def _explode_triple_lists(ds, uris, s_col, p_col, o_col):
 
 def kg_known(sf_dir: str):
     ds, kb = _annotated(sf_dir)
-    uris = kb.resources["uri"].to_pylist()
+    uris = kb.resources["uri"].combine_chunks()
     return _explode_triple_lists(ds, uris, "known_s", "known_p", "known_o")
 
 
 def kg_predicted(sf_dir: str):
     ds, kb = _annotated(sf_dir)
-    uris = kb.resources["uri"].to_pylist()
+    uris = kb.resources["uri"].combine_chunks()
     return _explode_triple_lists(ds, uris, "pred_s", "pred_p", "pred_o")
 
 
@@ -253,7 +223,6 @@ def kg_candidates_scoped(sf_dir: str):
 
     kb, kb_ref = _kb_and_ref(sf_dir)
     tpl = TemplateFilter(object_properties=[P_OPERATES_IN]).infer(KBIndex(kb))
-    uris = kb.resources["uri"].to_pylist()
 
     ds = _docs_ds(sf_dir).map_batches(
         Spotter,
@@ -267,17 +236,10 @@ def kg_candidates_scoped(sf_dir: str):
         concurrency=autoscale_concurrency(cap=8),
     )
 
-    def explode(t: pa.Table) -> pa.Table:
-        d, s_ = [], []
-        for doc_id, subs in zip(t["doc_id"].to_pylist(), t["cand_subj"].to_pylist()):
-            for s in sorted(set(subs)):
-                d.append(doc_id)
-                s_.append(uris[s])
-        return pa.table(
-            {"doc_id": pa.array(d, pa.string()), "subj": pa.array(s_, pa.string())}
-        )
-
-    return ds.map_batches(explode, batch_format="pyarrow")
+    return ds.map_batches(
+        _explode_distinct_subjects(kb.resources["uri"].combine_chunks(), "cand_subj"),
+        batch_format="pyarrow",
+    )
 
 
 def kg_spans(sf_dir: str):
