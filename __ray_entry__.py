@@ -277,6 +277,41 @@ def _q_events_top3_by_user(sf_dir: str):
     )
 
 
+def _q_graph_components(sf_dir: str):
+    """Distributed connected components over a two-level TPC-H graph:
+    customer->nation and nation->region edges (namespaced node ids);
+    every component is one region, labelled by its minimum node id."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from scoobie_ray.ops.graph import connected_components
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "src": pc.add(pc.cast(b["c_custkey"], pa.int64()), 1_000_000),
+                "dst": pc.add(pc.cast(b["c_nationkey"], pa.int64()), 2_000_000),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "src": pc.add(pc.cast(b["n_nationkey"], pa.int64()), 2_000_000),
+                "dst": pc.add(pc.cast(b["n_regionkey"], pa.int64()), 3_000_000),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return connected_components(cust.union(nat))
+
+
 def _q_top_tokens(sf_dir: str):
     """Exact corpus word frequency top-20 (combiner-first shuffle of
     (token, partial-count) rows; deterministic tie-break)."""
@@ -897,6 +932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "events_click_window": _q_events_click_window,
         "events_top3_by_user": _q_events_top3_by_user,
+        "graph_components": _q_graph_components,
         "top_tokens": _q_top_tokens,
         "len_quantiles": _q_len_quantiles,
         "vocab_distinct": _q_vocab_distinct,

@@ -1177,6 +1177,25 @@ FROM (
 WHERE rn <= 3
 """
 
+# Connected components (ops/graph.py): the engine runs GENERIC hash-min
+# label propagation; the oracle exploits the planted graph's known
+# structure (customer->nation->region is a forest of region-rooted
+# trees, so a node's component is the min node id within its region
+# group) — structural knowledge on the oracle side only.
+ORACLES["graph_components"] = r"""
+WITH nodes AS (
+  SELECT 1000000 + c_custkey AS node, n_regionkey AS rk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT 2000000 + n_nationkey, n_regionkey FROM nation
+  UNION ALL
+  SELECT 3000000 + r_regionkey, r_regionkey FROM region
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(MIN(node) OVER (PARTITION BY rk) AS BIGINT) AS component
+FROM nodes
+"""
+
 # ---- sketch / corpus-statistics oracles (ops/sketch.py) --------------------
 # Tokenization parity: Arrow utf8_split_whitespace and DuckDB
 # string_split_regex('\s+') both emit '' at string boundaries; both sides
