@@ -337,6 +337,19 @@ def _q_len_quantiles(sf_dir: str):
     return quantiles_disc(lens, "n_chars", [0.1, 0.25, 0.5, 0.75, 0.9])
 
 
+def _q_lang_len_quantiles(sf_dir: str):
+    """Per-language char-length discrete quantiles (grouped histogram,
+    one shuffle of partial counts)."""
+    import ray.data
+
+    from scoobie_ray.ops.sketch import grouped_quantiles_disc
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return grouped_quantiles_disc(docs, "lang", "n_chars", [0.25, 0.5, 0.75])
+
+
 def _q_vocab_distinct(sf_dir: str):
     """Exact distinct-token count plus a deterministic-HLL bounded gate:
     the p=14 splitmix64 HLL estimate must land within 2% of exact."""
@@ -935,6 +948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": _q_graph_components,
         "top_tokens": _q_top_tokens,
         "len_quantiles": _q_len_quantiles,
+        "lang_len_quantiles": _q_lang_len_quantiles,
         "vocab_distinct": _q_vocab_distinct,
         "np_chunks": _q_np_chunks,
         "kg_rated": _q_kg_rated,

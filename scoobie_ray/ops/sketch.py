@@ -11,7 +11,7 @@ The 100-TB statistics a curation pipeline needs over a corpus column:
 - ``quantiles_disc`` — exact discrete quantiles of a bounded-cardinality
   int column via a distributed histogram (per-batch value_counts ->
   groupby sum -> driver cumsum over the tiny histogram).  Index semantics
-  match DuckDB ``quantile_disc``: element at ``floor(q * (n-1))`` of the
+  match DuckDB ``quantile_disc``: element at ``ceil(q * n) - 1`` of the
   sorted values (verified empirically, see tests).  Assumption: the
   column's DISTINCT-value count is small (lengths, scores, sizes) — the
   histogram, not the rows, is collected.
@@ -103,13 +103,74 @@ def quantiles_disc(ds, col: str, qs: list[float]):
     n = int(cum[-1]) if len(cum) else 0
     out_q, out_v = [], []
     for q in qs:
-        # DuckDB quantile_disc: sorted[floor(q * (n-1))]
-        rank = int(np.floor(q * (n - 1) + 1e-9)) if n else 0
+        # DuckDB quantile_disc: sorted[ceil(q * n) - 1], clamped at 0
+        rank = max(int(np.ceil(q * n - 1e-9)) - 1, 0) if n else 0
         idx = int(np.searchsorted(cum, rank + 1, side="left"))
         out_q.append(int(round(q * 100)))
         out_v.append(int(vals[idx]) if n else -1)
     return pa.table(
         {"q_pct": pa.array(out_q, pa.int64()), "val": pa.array(out_v, pa.int64())}
+    )
+
+
+def grouped_quantiles_disc(ds, group_col: str, val_col: str, qs: list[float]):
+    """Per-group exact discrete quantiles via one distributed histogram.
+
+    Same semantics as :func:`quantiles_disc` applied within each group
+    (DuckDB ``quantile_disc ... GROUP BY``): per-batch (group, value)
+    value-counts combiner, ONE ``groupby(group, value).sum`` shuffle of
+    partial counts, then a vectorized fold over the tiny histogram —
+    per-group target ranks resolved with a single ``np.searchsorted``
+    against the global cumulative counts (no per-group Python loop).
+
+    Returns a pyarrow Table (group_col, q_pct int64, val int64), one row
+    per (group, q).  Assumption: groups x distinct values is small
+    (the histogram, not the rows, is collected).
+    """
+
+    def local(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"g": batch[group_col], "v": pc.cast(batch[val_col], pa.int64())}
+        )
+        agg = t.group_by(["g", "v"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "g": agg["g"],
+                "v": agg["v"],
+                "n": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby(["g", "v"])
+        .sum("n")
+        .to_pandas()  # tiny: one row per (group, distinct value)
+    )
+    hist = hist.sort_values(["g", "v"], kind="mergesort")
+    g = hist["g"].to_numpy()
+    vals = hist["v"].to_numpy()
+    cnt = hist["sum(n)"].to_numpy()
+    cum = cnt.cumsum()
+    new_g = np.concatenate(([True], g[1:] != g[:-1])) if len(g) else np.array([], bool)
+    starts = np.flatnonzero(new_g)
+    offsets = np.where(starts > 0, cum[starts - 1], 0)  # rows before group
+    ends = np.append(starts[1:], len(g)) - 1
+    n_per_group = cum[ends] - offsets if len(g) else offsets
+    out_g, out_q, out_v = [], [], []
+    for q in qs:
+        # DuckDB quantile_disc: sorted[ceil(q * n) - 1], clamped at 0
+        rank = np.maximum(np.ceil(q * n_per_group - 1e-9).astype(np.int64) - 1, 0)
+        idx = np.searchsorted(cum, offsets + rank + 1, side="left")
+        out_g.extend(g[starts].tolist())
+        out_q.extend([int(round(q * 100))] * len(starts))
+        out_v.extend(vals[idx].tolist())
+    return pa.table(
+        {
+            group_col: pa.array(out_g),
+            "q_pct": pa.array(out_q, pa.int64()),
+            "val": pa.array(out_v, pa.int64()),
+        }
     )
 
 

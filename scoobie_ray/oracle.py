@@ -1226,6 +1226,22 @@ SELECT * FROM (
 ) ORDER BY q_pct
 """
 
+# Grouped variant: per-language char-length quantiles (documents carry
+# a materialized n_chars column, so both sides read the same ints).
+ORACLES["lang_len_quantiles"] = r"""
+SELECT lang, q_pct, val FROM (
+  SELECT lang, 25 AS q_pct,
+         CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS val
+  FROM documents GROUP BY lang
+  UNION ALL
+  SELECT lang, 50, CAST(quantile_disc(n_chars, 0.50) AS BIGINT)
+  FROM documents GROUP BY lang
+  UNION ALL
+  SELECT lang, 75, CAST(quantile_disc(n_chars, 0.75) AS BIGINT)
+  FROM documents GROUP BY lang
+)
+"""
+
 # Exact distinct tokens; the engine side ALSO runs its deterministic
 # p=14 splitmix64 HyperLogLog and asserts the estimate lands within 2%
 # (the TRUE constant here makes the bounded gate hash-checkable, the

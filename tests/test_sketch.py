@@ -71,6 +71,61 @@ def test_quantiles_match_duckdb_index_semantics(ray_session):
     assert got["val"].tolist() == want
 
 
+def test_quantiles_ceil_rank_divergent_case(ray_session):
+    # n=10, q=0.75: ceil(q*n)-1 = 7 (value 8) while the plausible-but-
+    # wrong floor(q*(n-1)) = 6 (value 7) — DuckDB returns 8
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(list(range(1, 11)), pa.int64())})
+    )
+    got = quantiles_disc(ds, "v", [0.75]).to_pandas()
+    assert got["val"].tolist() == [8]
+    assert (
+        duckdb.sql(
+            "SELECT quantile_disc(v, 0.75) FROM (SELECT unnest(range(1, 11)) v)"
+        ).fetchone()[0]
+        == 8
+    )
+
+
+def test_grouped_quantiles_match_duckdb(ray_session):
+    from scoobie_ray.ops.sketch import grouped_quantiles_disc
+
+    rng = np.random.default_rng(9)
+    gs = rng.integers(0, 5, 800)
+    vs = rng.integers(0, 40, 800)
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": pa.array([f"g{x}" for x in gs], pa.string()),
+                "v": pa.array(vs, pa.int64()),
+            }
+        )
+    ).repartition(6)
+    got = grouped_quantiles_disc(ds, "g", "v", [0.25, 0.5, 0.9]).to_pandas()
+    want = duckdb.sql(
+        """
+        SELECT g, q_pct, val FROM (
+          SELECT g, 25 q_pct, CAST(quantile_disc(v, 0.25) AS BIGINT) val
+          FROM (SELECT unnest(?) g, unnest(?) v) GROUP BY g
+          UNION ALL
+          SELECT g, 50, CAST(quantile_disc(v, 0.5) AS BIGINT)
+          FROM (SELECT unnest(?) g, unnest(?) v) GROUP BY g
+          UNION ALL
+          SELECT g, 90, CAST(quantile_disc(v, 0.9) AS BIGINT)
+          FROM (SELECT unnest(?) g, unnest(?) v) GROUP BY g
+        )
+        """,
+        params=[[f"g{x}" for x in gs], vs.tolist()] * 3,
+    ).fetchdf()
+    assert sorted(map(tuple, got.values.tolist())) == sorted(
+        map(tuple, want.values.tolist())
+    )
+
+
 def test_hll_accurate_in_estimation_regime(ray_session):
     # 200k distinct tokens — far past linear counting; p=14 gives a
     # ~0.8% standard error, so 3% is a generous determinism-safe bound
