@@ -26,21 +26,25 @@ def _edges(pairs, parallelism=4):
     return ds.repartition(parallelism)
 
 
-def _run(pairs, **kw):
-    out = connected_components(_edges(pairs, **kw)).to_pandas()
+def _run(pairs, parallelism=4, **kw):
+    out = connected_components(_edges(pairs, parallelism), **kw).to_pandas()
     return dict(zip(out["node"].astype(int), out["component"].astype(int)))
 
 
 def test_cc_chain_and_cycle(ray_session):
     # chain 1-2-3-4-5 (deep: exercises pointer jumping) + cycle 10-11-12-10
-    got = _run([(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (12, 10)])
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (12, 10)]
+    assert _run(pairs) == want  # driver fold
+    assert _run(pairs, driver_limit=0) == want  # forced distributed path
 
 
 def test_cc_matches_union_find_on_random(ray_session):
     rng = np.random.default_rng(17)
     pairs = list(zip(rng.integers(0, 120, 200).tolist(), rng.integers(0, 120, 200).tolist()))
     got = _run(pairs, parallelism=6)
+    got_dist = _run(pairs, parallelism=6, driver_limit=0)
+    assert got == got_dist
 
     # union-find reference
     parent = list(range(121))
