@@ -198,14 +198,22 @@ def _q_events_last_touch(sf_dir: str):
 
 
 def _q_events_window(sf_dir: str):
-    """Trailing 1-hour windowed count per user (SQL RANGE window) via the
-    hash-partitioned composite-searchsorted kernel."""
+    """Trailing 1-hour windowed count AND integer sum per user (SQL RANGE
+    window) via the hash-partitioned composite-searchsorted kernel —
+    both aggregates priced by the same two binary searches."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import ray.data
 
     from scoobie_ray.relational.window import rolling_count
 
     ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    ).map_batches(
+        lambda b: b.drop_columns(["value"]).append_column(
+            "fv", pc.cast(pc.floor(b["value"]), pa.int64())
+        ),
+        batch_format="pyarrow",
     )
     return rolling_count(
         ev,
@@ -213,6 +221,7 @@ def _q_events_window(sf_dir: str):
         ts_col="ts",
         window_us=3_600_000_000,
         carry=["event_id"],
+        sum_col="fv",
     )
 
 

@@ -1156,11 +1156,13 @@ GROUP BY 1, 2
 
 ORACLES["events_window"] = r"""
 SELECT event_id, user_id,
-       CAST(COUNT(*) OVER (
-         PARTITION BY user_id ORDER BY ts
-         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
-       ) AS BIGINT) AS w_count
+       CAST(COUNT(*) OVER w AS BIGINT) AS w_count,
+       CAST(SUM(CAST(FLOOR(value) AS BIGINT)) OVER w AS BIGINT) AS w_sum
 FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts
+  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+)
 """
 
 # Per-key top-N (relational/topk.py): each user's top-3 events by value,

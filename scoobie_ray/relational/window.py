@@ -41,8 +41,11 @@ def rolling_count(
     window_us: int,
     carry: list[str],
     num_partitions: int = 32,
+    sum_col: str | None = None,
 ):
-    """Trailing-range window count; returns ``carry + [key_col, w_count]``.
+    """Trailing-range window count; returns ``carry + [key_col, w_count]``
+    (plus ``w_sum`` of the int64-cast ``sum_col`` when given — the same
+    two binary searches price any prefix-sum-decomposable aggregate).
 
     ``carry`` must be int64-castable columns; ``ts_col`` may be Arrow
     ``timestamp[us]`` or int64 microseconds.
@@ -56,11 +59,13 @@ def rolling_count(
         }
         for c in carry:
             cols[c] = pc.cast(batch[c], pa.int64())
+        if sum_col is not None:
+            cols["_sv"] = pc.cast(batch[sum_col], pa.int64())
         part = _splitmix64(key.astype(np.uint64)) % np.uint64(num_partitions)
         cols["_part"] = pa.array(part.astype(np.int64), pa.int64())
         return pa.table(cols)
 
-    out_cols = [*carry, key_col, "w_count"]
+    out_cols = [*carry, key_col, "w_count"] + (["w_sum"] if sum_col else [])
     W = int(window_us)
 
     def count_part(part: pd.DataFrame) -> pd.DataFrame:
@@ -81,9 +86,11 @@ def rolling_count(
         # side="right" upper bound counts ALL peer rows with an equal ts,
         # matching SQL RANGE ... CURRENT ROW semantics under ties.
         hi = np.searchsorted(comp, comp, side="right")
-        w_count = hi - lo
         out = p[[*carry, key_col]].copy()
-        out["w_count"] = w_count
+        out["w_count"] = hi - lo
+        if sum_col is not None:
+            cs = np.concatenate(([0], p["_sv"].to_numpy().cumsum()))
+            out["w_sum"] = cs[hi] - cs[lo]  # sum over rows [lo, hi)
         return out
 
     return (

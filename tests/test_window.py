@@ -51,6 +51,27 @@ def test_window_keys_independent(ray_session):
     assert got == {0: 1, 1: 1, 2: 2}
 
 
+def test_window_sum_matches_naive(ray_session):
+    import ray.data
+
+    rows = [(1, 0, 0, 5), (1, 5, 1, 7), (1, 10, 2, -2), (1, 16, 3, 4)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                c: pa.array([r[i] for r in rows], pa.int64())
+                for i, c in enumerate(["k", "t", "event_id", "sv"])
+            }
+        )
+    )
+    out = rolling_count(
+        ds, key_col="k", ts_col="t", window_us=10, carry=["event_id"], sum_col="sv"
+    ).to_pandas()
+    got = {int(e): (int(c), int(s)) for e, c, s in
+           zip(out["event_id"], out["w_count"], out["w_sum"])}
+    # windows: [0]=({0}), [5]=({0,5}), [10]=({0,5,10}), [16]=({10,16})
+    assert got == {0: (1, 5), 1: (2, 12), 2: (3, 10), 3: (2, 2)}
+
+
 def test_window_matches_naive_on_random(ray_session):
     rng = np.random.default_rng(11)
     k = rng.integers(0, 15, 400)
