@@ -39,6 +39,23 @@ def test_cc_chain_and_cycle(ray_session):
     assert _run(pairs, driver_limit=0) == want  # forced distributed path
 
 
+def test_cc_string_ids_both_regimes(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(["b", "c", "x"], pa.string()),
+                "dst": pa.array(["a", "b", "y"], pa.string()),
+            }
+        )
+    )
+    want = {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    for lim in (50_000_000, 0):
+        out = connected_components(ds, driver_limit=lim).to_pandas()
+        assert dict(zip(out["node"], out["component"])) == want, lim
+
+
 def test_cc_matches_union_find_on_random(ray_session):
     rng = np.random.default_rng(17)
     pairs = list(zip(rng.integers(0, 120, 200).tolist(), rng.integers(0, 120, 200).tolist()))
