@@ -191,8 +191,14 @@ def _hll_registers(hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return reg, np.minimum(rank, 64 - _HLL_P + 1)
 
 
-def hll_distinct(ds, col: str = "text", *, tokens: bool = True) -> float:
-    """Deterministic HLL distinct estimate over tokens (or raw values)."""
+def hll_registers_ds(ds, col: str = "text", *, tokens: bool = True):
+    """The HLL sketch itself: a Dataset of (register, rank) rows, one row
+    per occupied register — the MERGEABLE form.  Sketches of any corpus
+    shards (or of separately-built sketches) union + ``groupby.max`` into
+    the sketch of their union, which is how a 100-TB corpus keeps one
+    16k-row distinct-count summary per partition without ever re-reading
+    text.  Deterministic splitmix64 hashing, so merges are exact: the
+    merged sketch is bit-identical to the sketch of the combined corpus."""
 
     def local(batch: pa.Table) -> pa.Table:
         arr = _flat_tokens(batch, col) if tokens else batch[col]
@@ -213,19 +219,48 @@ def hll_distinct(ds, col: str = "text", *, tokens: bool = True) -> float:
             }
         )
 
-    regs = (
+    return (
         ds.map_batches(local, batch_format="pyarrow")
         .groupby("register")
         .max("rank")
-        .to_pandas()  # <= 16384 rows
+        .map_batches(
+            lambda t: t.rename_columns(["register", "rank"]),
+            batch_format="pyarrow",
+        )
     )
+
+
+def hll_merge(*sketches):
+    """Merge HLL sketches (Datasets of (register, rank)) — union + max.
+    Exact: merging shard sketches == sketching the concatenated corpus."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.union(s)
+    return (
+        merged.groupby("register")
+        .max("rank")
+        .map_batches(
+            lambda t: t.rename_columns(["register", "rank"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def hll_estimate(sketch) -> float:
+    """Distinct-count estimate from a (register, rank) sketch Dataset."""
+    regs = sketch.to_pandas()  # <= 16384 rows
     m = _HLL_M
     M = np.zeros(m, dtype=np.float64)
     if len(regs):
-        M[regs["register"].to_numpy()] = regs["max(rank)"].to_numpy()
+        M[regs["register"].to_numpy()] = regs["rank"].to_numpy()
     alpha = 0.7213 / (1 + 1.079 / m)
     est = alpha * m * m / np.sum(np.exp2(-M))
     zeros = int(np.sum(M == 0))
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)  # linear-counting small-range fix
     return float(est)
+
+
+def hll_distinct(ds, col: str = "text", *, tokens: bool = True) -> float:
+    """Deterministic HLL distinct estimate over tokens (or raw values)."""
+    return hll_estimate(hll_registers_ds(ds, col, tokens=tokens))

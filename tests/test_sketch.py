@@ -138,6 +138,22 @@ def test_hll_accurate_in_estimation_regime(ray_session):
     assert abs(est - 200_000) / 200_000 < 0.03, est
 
 
+def test_hll_merge_equals_whole_corpus_sketch(ray_session):
+    # deterministic hashing makes shard-sketch merges EXACT: merging the
+    # sketches of two disjoint halves reproduces the full-corpus estimate
+    from scoobie_ray.ops.sketch import hll_estimate, hll_merge, hll_registers_ds
+
+    texts = [" ".join(f"w{i}" for i in range(j, j + 50)) for j in range(0, 20_000, 50)]
+    whole = hll_estimate(hll_registers_ds(_docs_ds(texts, 6)))
+    merged = hll_estimate(
+        hll_merge(
+            hll_registers_ds(_docs_ds(texts[: len(texts) // 2], 3)),
+            hll_registers_ds(_docs_ds(texts[len(texts) // 2 :], 3)),
+        )
+    )
+    assert merged == whole
+
+
 def test_hll_register_ranks():
     # top-14 bits -> register; rank = leading zeros of the rest + 1
     h = np.array(
