@@ -87,6 +87,48 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(docs, bench, n=8)
 
 
+def _q_decontaminate_bloom(sf_dir: str):
+    """Bloom-filter decontamination scale path, bounded-gated: the Bloom
+    pass must over-flag ONLY (superset of exact; no false negatives by
+    construction) and stay within 1% extra flags — the TRUE constants
+    make the bound hash-checkable, like the ANN recall gates."""
+    import pyarrow as pa
+
+    from scoobie_ray.ops.curation import decontaminate
+
+    def bench_slice(b: "pa.Table") -> "pa.Table":
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 37 == 0))
+
+    docs = _documents(sf_dir)
+    bench = docs.map_batches(bench_slice, batch_format="pyarrow")
+    exact = (
+        decontaminate(docs, bench, n=8)
+        .select_columns(["doc_id", "contaminated"])
+        .to_pandas()
+        .set_index("doc_id")["contaminated"]
+    )
+    bloom = (
+        decontaminate(docs, bench, n=8, filter="bloom")
+        .select_columns(["doc_id", "contaminated"])
+        .to_pandas()
+        .set_index("doc_id")["contaminated"]
+    )
+    bloom = bloom.reindex(exact.index)
+    superset = bool((bloom | ~exact).all())  # exact-flagged => bloom-flagged
+    extra = int((bloom & ~exact).sum())
+    return pa.table(
+        {
+            "n_docs": pa.array([len(exact)], pa.int64()),
+            "n_contaminated": pa.array([int(exact.sum())], pa.int64()),
+            "bloom_superset": pa.array([superset], pa.bool_()),
+            "bloom_extra_le_1pct": pa.array(
+                [extra <= max(1, len(exact) // 100)], pa.bool_()
+            ),
+        }
+    )
+
+
 def _q_sample_stratified(sf_dir: str):
     """Deterministic per-language sampling: keep 60% of en, 30% of es,
     10% of everything else, chosen by md5_number_upper(doc_id)."""
@@ -946,6 +988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": _q_dedup_embedding,
         "curate": _q_curate,
         "decontaminate": _q_decontaminate,
+        "decontaminate_bloom": _q_decontaminate_bloom,
         "sample_stratified": _q_sample_stratified,
         "pack_sequences": _q_pack_sequences,
         "repetition_stats": _q_repetition_stats,

@@ -220,7 +220,12 @@ class Decontaminator:
                     [_gram_hash_of_tokens(g.split()) for g in bench], dtype=np.uint64
                 )
             )
-        self.bench = np.ascontiguousarray(bench, dtype=np.uint64)
+        if isinstance(bench, dict):  # Bloom-filter broadcast (build_bloom)
+            self.bloom = bench
+            self.bench = None
+        else:
+            self.bloom = None
+            self.bench = np.ascontiguousarray(bench, dtype=np.uint64)
         self.n = n
         self.text_col = text_col
 
@@ -228,13 +233,16 @@ class Decontaminator:
         codes, _, counts, uniq = _flat_token_codes(batch[self.text_col])
         flat_h = _unique_token_hashes(uniq)[codes]
         g, gram_doc, m = _window_gram_hashes(flat_h, counts, self.n)
-        idx = np.searchsorted(self.bench, g)
-        idx[idx == len(self.bench)] = max(len(self.bench) - 1, 0)
-        hit = (
-            self.bench[idx] == g
-            if len(self.bench)
-            else np.zeros(len(g), dtype=bool)
-        )
+        if self.bloom is not None:
+            hit = bloom_contains(self.bloom, g)
+        else:
+            idx = np.searchsorted(self.bench, g)
+            idx[idx == len(self.bench)] = max(len(self.bench) - 1, 0)
+            hit = (
+                self.bench[idx] == g
+                if len(self.bench)
+                else np.zeros(len(g), dtype=bool)
+            )
         n_hits = np.bincount(gram_doc[hit], minlength=batch.num_rows).astype(np.int64)
         return pa.table(
             {
@@ -246,16 +254,64 @@ class Decontaminator:
         )
 
 
-def decontaminate(corpus_ds, bench_ds, n: int = 8, concurrency=None):
+_BLOOM_SALTS = np.array(
+    [0x9E3779B97F4A7C15 * (j + 1) & 0xFFFFFFFFFFFFFFFF for j in range(8)],
+    dtype=np.uint64,
+)
+
+
+def build_bloom(hashes: np.ndarray, bits_per_key: int = 24, k: int = 8) -> dict:
+    """Bloom filter over uint64 gram hashes — the broadcast scale path
+    when the benchmark gram set outgrows the sorted-hash array (24
+    bits/key ≈ 2.7x smaller than 64-bit hashes at ~4e-5 per-gram false
+    positives — sized for PER-DOC flags, which union ~100 gram probes, so
+    the per-doc false-flag rate stays ~0.4%; false positives only
+    over-flag, the conservative direction for decontamination).
+    Deterministic: probe j of hash h is ``splitmix64(h ^ SALT_j) %
+    m_bits``.  Fully vectorized build."""
+    from scoobie_ray.ops.dedup import _splitmix64
+
+    n = max(len(hashes), 1)
+    m_bits = ((n * bits_per_key + 63) // 64) * 64
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    h = np.ascontiguousarray(hashes, dtype=np.uint64)
+    for j in range(k):
+        pos = _splitmix64(h ^ _BLOOM_SALTS[j]) % np.uint64(m_bits)
+        np.bitwise_or.at(
+            words, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+    return {"words": words, "m_bits": m_bits, "k": k}
+
+
+def bloom_contains(bloom: dict, hashes: np.ndarray) -> np.ndarray:
+    """Vectorized membership probe; no false negatives by construction."""
+    from scoobie_ray.ops.dedup import _splitmix64
+
+    h = np.ascontiguousarray(hashes, dtype=np.uint64)
+    out = np.ones(len(h), dtype=bool)
+    words, m_bits = bloom["words"], np.uint64(bloom["m_bits"])
+    for j in range(bloom["k"]):
+        pos = _splitmix64(h ^ _BLOOM_SALTS[j]) % m_bits
+        bit = words[(pos >> np.uint64(6)).astype(np.int64)] >> (pos & np.uint64(63))
+        out &= (bit & np.uint64(1)).astype(bool)
+    return out
+
+
+def decontaminate(corpus_ds, bench_ds, n: int = 8, concurrency=None, filter: str = "exact"):
     """Flag corpus docs sharing any n-token gram with the benchmark set.
 
     Returns (doc_id, n_grams, n_hits, contaminated) for every corpus doc.
+    ``filter="bloom"`` broadcasts a Bloom filter instead of the sorted
+    hash array — smaller at giant benchmark scale, over-flags at the
+    Bloom false-positive rate (never under-flags).
     """
     import ray
 
     from scoobie_ray.util import autoscale_concurrency
 
-    bench_ref = ray.put(benchmark_gram_hashes(bench_ds, n=n))
+    grams = benchmark_gram_hashes(bench_ds, n=n)
+    bench_ref = ray.put(build_bloom(grams) if filter == "bloom" else grams)
     if concurrency is None:
         concurrency = autoscale_concurrency()
     return corpus_ds.map_batches(

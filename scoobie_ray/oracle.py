@@ -1051,6 +1051,27 @@ SELECT d.doc_id,
 FROM d LEFT JOIN hits h USING (doc_id)
 """
 
+# Bloom-filter decontamination (bounded gate): the oracle re-derives the
+# EXACT contaminated count; the boolean constants assert the engine-side
+# Bloom bounds (superset of exact, <=1% extra flags) — same pattern as
+# the ANN recall gates.
+ORACLES["decontaminate_bloom"] = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+ix AS (SELECT i FROM generate_series(1, 512) t(i)),
+g AS (
+  SELECT d.doc_id, array_to_string(d.w[ix.i:ix.i+7], ' ') AS gram
+  FROM d JOIN ix ON ix.i <= len(d.w) - 7
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0)
+SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT g.doc_id) AS BIGINT) AS n_contaminated,
+       TRUE AS bloom_superset,
+       TRUE AS bloom_extra_le_1pct
+FROM g JOIN bench USING (gram)
+"""
+
 # sample_stratified: md5_number_upper(key) == int.from_bytes(md5[:8],
 # 'little') (the engine's stable_bucket_u64) — deterministic per-stratum
 # percentage keep.  Rates mirror the engine wrapper: en 60 / es 30 /

@@ -285,3 +285,32 @@ def test_repetition_stats_matches_naive_on_tricky_texts():
 def test_token_counts_tricky():
     counts = _token_counts(pa.array(TRICKY_TEXTS, pa.string()))
     assert counts.tolist() == [len((t or "").split()) for t in TRICKY_TEXTS]
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    from scoobie_ray.ops.curation import bloom_contains, build_bloom
+
+    rng = np.random.default_rng(13)
+    members = rng.integers(0, 2**63, 50_000).astype(np.uint64)
+    bloom = build_bloom(members)
+    assert bloom_contains(bloom, members).all()  # never a false negative
+    probes = rng.integers(0, 2**63, 50_000).astype(np.uint64)
+    fresh = probes[~np.isin(probes, members)]
+    fp = bloom_contains(bloom, fresh).mean()
+    assert fp < 0.001, fp  # 24 bits/key, k=8 -> ~4e-5 expected
+
+
+def test_decontaminate_bloom_superset_of_exact(ray_session):
+    bench = _docs_ds([(100, "x y z")])
+    corpus = _docs_ds([(1, "x y z q"), (2, "a b c d"), (3, "q r s t u")])
+    exact = (
+        decontaminate(corpus, bench, n=3).to_pandas().set_index("doc_id")
+    )
+    bloom = (
+        decontaminate(corpus, bench, n=3, filter="bloom")
+        .to_pandas()
+        .set_index("doc_id")
+        .reindex(exact.index)
+    )
+    assert (bloom["contaminated"] | ~exact["contaminated"]).all()
+    assert bool(bloom.loc[1, "contaminated"])
