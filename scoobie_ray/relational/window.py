@@ -78,7 +78,9 @@ def rolling_count(
         krank = np.cumsum(new_key) - 1  # local dense key rank, 0-based
         ts_rel = ts - ts.min()
         stride = int(ts_rel.max()) + W + 2
-        assert (krank[-1] + 1) * stride < 2**63, (
+        # exact Python-int arithmetic: an np.int64 product would itself
+        # wrap on exactly the inputs this guard exists to reject
+        assert (int(krank[-1]) + 1) * int(stride) < 2**63, (
             "composite window key would overflow int64; raise num_partitions"
         )
         comp = krank * np.int64(stride) + ts_rel

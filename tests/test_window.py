@@ -72,6 +72,17 @@ def test_window_sum_matches_naive(ray_session):
     assert got == {0: (1, 5), 1: (2, 12), 2: (3, 10), 3: (2, 2)}
 
 
+def test_window_composite_overflow_asserts(ray_session):
+    # huge ts span x many keys in ONE partition must refuse loudly, not
+    # wrap int64 silently
+    import pytest
+
+    rows = [(k, t, k * 10 + int(t > 0)) for k in range(400)
+            for t in (0, 3 * 10**16)]
+    with pytest.raises(Exception, match="overflow|RayTaskError"):
+        _run(_ds(rows), 10, num_partitions=1)
+
+
 def test_window_matches_naive_on_random(ray_session):
     rng = np.random.default_rng(11)
     k = rng.integers(0, 15, 400)
