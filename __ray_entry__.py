@@ -328,6 +328,30 @@ def _q_events_top3_by_user(sf_dir: str):
     )
 
 
+def _q_events_pivot(sf_dir: str):
+    """Pivot/crosstab: per-day count of each event type (category
+    vocabulary discovered distributed; one partial-count shuffle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from scoobie_ray.relational.pivot import pivot_counts
+
+    DAY_US = 86_400_000_000
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "day": pc.divide(pc.cast(b["ts"], pa.int64()), DAY_US),
+                "event_type": b["event_type"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return pivot_counts(ev, key_col="day", cat_col="event_type")
+
+
 def _q_graph_components(sf_dir: str):
     """Distributed connected components over a two-level TPC-H graph:
     customer->nation and nation->region edges (namespaced node ids);
@@ -998,6 +1022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_click_window": _q_events_click_window,
         "events_top3_by_user": _q_events_top3_by_user,
         "graph_components": _q_graph_components,
+        "events_pivot": _q_events_pivot,
         "top_tokens": _q_top_tokens,
         "len_quantiles": _q_len_quantiles,
         "lang_len_quantiles": _q_lang_len_quantiles,

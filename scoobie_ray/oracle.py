@@ -1200,6 +1200,19 @@ FROM (
 WHERE rn <= 3
 """
 
+# Pivot/crosstab (relational/pivot.py): per-day event-type count matrix;
+# engine column names are n_<category> in sorted category order.
+ORACLES["events_pivot"] = r"""
+SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events
+GROUP BY 1
+"""
+
 # Connected components (ops/graph.py): the engine runs GENERIC hash-min
 # label propagation; the oracle exploits the planted graph's known
 # structure (customer->nation->region is a forest of region-rooted
