@@ -7,9 +7,11 @@ corpus on the driver):
    byte-shingle packing + one splitmix64 pass — no per-shingle hashing in
    Python) and exploded to (band_key, doc_id) rows.
 2. *Candidate pairs* come out of the only wide shuffle — band rows
-   hash-partitioned on band_key, each partition emitting star pairs
-   (min-id ↔ each bucket-mate) with one vectorized sort + boundary scan;
-   connected components downstream restore transitivity.
+   hash-partitioned on band_key, each partition emitting ALL in-bucket
+   pairs for small buckets (complete graph == the all-pairs oracle
+   semantics) and star + trailing-window pairs for large ones, all with
+   one vectorized sort + ragged-arange fan-out; connected components
+   downstream restore transitivity.
 3. *Verification* runs inside ``map_groups``:
    - SimHash carries its 8-byte signature through the band shuffle and
      verifies Hamming distance directly in the bucket group;
@@ -240,6 +242,9 @@ def _bucket_star_pairs(sig_ds, id_col: str):
         part = (_splitmix64(bk) % np.uint64(P)).astype(np.int64)
         return t.append_column("_part", pa.array(part))
 
+    FULL_CAP = 32  # all pairs for buckets up to this size
+    WINDOW = 8  # trailing-window pairs (plus the star) above it
+
     def emit(part: pd.DataFrame) -> pd.DataFrame:
         if not len(part):
             e = part[id_col].iloc[:0]
@@ -247,15 +252,34 @@ def _bucket_star_pairs(sig_ds, id_col: str):
         df = part.sort_values(["band_key", id_col], kind="mergesort")
         bk = df["band_key"].to_numpy()
         ids = df[id_col].to_numpy()
-        first = np.empty(len(df), dtype=bool)
+        n = len(df)
+        first = np.empty(n, dtype=bool)
         first[0] = True
         first[1:] = bk[1:] != bk[:-1]
-        # hub per row = min id of its bucket = first id after the sort,
-        # forward-filled via a running max over bucket-start indices
-        start = np.maximum.accumulate(np.where(first, np.arange(len(df)), 0))
+        start = np.maximum.accumulate(np.where(first, np.arange(n), 0))
+        # bucket size per row (run length forward-filled like `start`)
+        starts_idx = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts_idx, n))
+        size_r = np.repeat(sizes, sizes)
+        loc = np.arange(n) - start  # local index within bucket
+        # pair fan-in per row: ALL preceding bucket rows while the bucket
+        # is small (complete pair graph == the oracle's all-pairs
+        # semantics), else a trailing window — a star+window approximation
+        # whose misses require a >FULL_CAP bucket AND >WINDOW id-gap in
+        # every shared band (the r2-documented recall caveat, now bounded)
+        w = np.where(size_r <= FULL_CAP, loc, np.minimum(loc, WINDOW))
+        tot = int(w.sum())
+        b_side = np.repeat(ids, w)
+        cum = np.cumsum(w) - w
+        a_idx = np.arange(tot) - np.repeat(cum, w) + np.repeat(np.arange(n) - w, w)
+        a_side = ids[a_idx]
+        # star pairs keep far rows of giant buckets reachable from the hub
         hub = ids[start]
-        mask = (~first) & (hub != ids)
-        return pd.DataFrame({"a": hub[mask], "b": ids[mask]})
+        big = (~first) & (hub != ids) & (size_r > FULL_CAP)
+        a = np.concatenate([a_side, hub[big]])
+        b = np.concatenate([b_side, ids[big]])
+        keep = a != b
+        return pd.DataFrame({"a": a[keep], "b": b[keep]})
 
     pairs = (
         sig_ds.map_batches(add_part, batch_format="pyarrow")

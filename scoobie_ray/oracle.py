@@ -843,12 +843,13 @@ SELECT s, p, o, o_is_literal FROM t
 #
 # TWO fixture assumptions make engine == oracle, both gated by
 # tests/test_oracle_fixture_invariants.py:
-# 1. STAR-VERIFY: the engine verifies only hub star-pairs (bucket-min vs
-#    each mate) while the oracle unions ALL above-threshold pairs before
-#    components.  A chain-shaped family (A~B, B~C, A!~C, hub A) would pass
-#    the oracle's components but fail the engine's — the fixtures plant
-#    hub-connected clusters only (every member ~ the min-id member).  If a
-#    future fixture change makes this gate fail, that is the reason.
+# 1. BUCKET PAIR EMISSION: the engine emits ALL in-bucket pairs for
+#    buckets <= 32 rows (complete graph — exactly the oracle's all-pairs
+#    union) and star + trailing-window pairs above that.  A miss now
+#    requires a >32-row bucket with a >8 id-gap between the true pair in
+#    EVERY shared band (late-r3: the earlier star-only emission missed a
+#    true isolated pair at sf0.001 because every shared bucket had a
+#    smaller-id dissimilar hub — the all-pairs-under-cap fix closed it).
 # 2. ASCII TEXTS: char_shingles windows over UTF-8 BYTES; the SQL oracle
 #    shingles with substr() over CHARACTERS.  Identical only while fixture
 #    document texts are pure ASCII.

@@ -27,16 +27,17 @@ def pivot_counts(ds, *, key_col: str, cat_col: str):
     """Per-key count of each category value; returns a Dataset with
     columns ``[key_col, n_<cat>...]`` (categories sorted, int64)."""
     cats = sorted(
-        c
-        for b in ds.select_columns([cat_col])
-        .map_batches(
-            lambda t: pa.table({cat_col: pc.unique(t[cat_col].combine_chunks())}),
-            batch_format="pyarrow",
-        )
-        .iter_batches(batch_format="pyarrow")
-        for c in b[cat_col].to_pylist()
+        {
+            c
+            for b in ds.select_columns([cat_col])
+            .map_batches(
+                lambda t: pa.table({cat_col: pc.unique(t[cat_col].combine_chunks())}),
+                batch_format="pyarrow",
+            )
+            .iter_batches(batch_format="pyarrow")
+            for c in b[cat_col].to_pylist()
+        }
     )
-    cats = sorted(set(cats))
     cat_to_idx = {c: i for i, c in enumerate(cats)}
 
     def local(batch: pa.Table) -> pa.Table:

@@ -234,7 +234,7 @@ def test_ngram_dedup(dup_docs):
         ("dedup_exact", 500, "c7b8df7a9677"),
         ("dedup_minhash", 476, "9e788b79dfa8"),
         ("dedup_simhash", 481, "ff4c23d830cd"),
-        ("dedup_ngram", 477, "6d4ddb6656eb"),
+        ("dedup_ngram", 476, "9e788b79dfa8"),
         ("dedup_embedding", 500, "c7b8df7a9677"),
     ],
 )
@@ -242,8 +242,11 @@ def test_dedup_goldens_sf0001(ray_session, name, n_rows, ids_md5):
     """Locked surviving-id sets at sf0.001 (VERDICT r1 item 1: the
     distributed-verification rewrite must keep identical row sets).
     simhash/minhash/exact/embedding are hash-identical to round 1; ngram
-    additionally catches doc 462 (true near-dup of 458, Jaccard 0.98)
-    that the old md5 LSH missed — golden updated for the recall win."""
+    goldens moved twice for recall wins — r3a caught doc 462 (near-dup of
+    458, Jaccard 0.98) missed by the old md5 LSH, and late-r3's
+    all-pairs-under-cap bucket emission caught doc 411 (near-dup of 349,
+    Jaccard 0.98) whose every shared bucket had a smaller-id false-hub —
+    ngram now matches minhash AND the all-pairs DuckDB oracle exactly."""
     import hashlib
     import sys
 
