@@ -891,7 +891,11 @@ WITH RECURSIVE norm AS (
 
 # curate: the composed training-data curation pipeline — quality filter
 # (n_tokens >= 30, punctuation bound) ∩ langid == 'en' ∩ exact+minhash
-# dedup over the SURVIVING subset (min-id per near-dup component)
+# dedup over the SURVIVING subset (min-id per near-dup component).
+# ORACLE-side scale limit: the all-pairs shingle self-join is quadratic;
+# at sf0.1 (5000 docs) DuckDB's spill exceeds the sandbox disk — the
+# driver's sf0.01 gate is the supported scale for this oracle (the
+# ENGINE side streams fine at any sf).
 ORACLES["curate"] = (
     "WITH RECURSIVE "
     + _langid_cte()
