@@ -396,6 +396,19 @@ def pack_sequences(
     (``_part`` ranges stay ordered); ids need not be dense.
     """
     mx = ds.max(id_col)
+    if mx is None:  # empty corpus: typed empty result, no crash
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "seq_id": pa.array([], pa.int64()),
+                    "seq_off": pa.array([], pa.int64()),
+                }
+            )
+        )
     span = max(1, int(mx) // num_partitions + 1)
 
     def count_batch(batch: pa.Table) -> pa.Table:

@@ -314,3 +314,16 @@ def test_decontaminate_bloom_superset_of_exact(ray_session):
     )
     assert (bloom["contaminated"] | ~exact["contaminated"]).all()
     assert bool(bloom.loc[1, "contaminated"])
+
+
+def test_pack_sequences_empty_corpus(ray_session):
+    import ray.data
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+        )
+    )
+    out = pack_sequences(empty, budget=64)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_id", "n_tokens", "seq_id", "seq_off"}
