@@ -969,7 +969,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from scoobie_ray.pipelines import views
     from scoobie_ray.relational import queries as rq
 
+    # NOTE on ordering: the driver checks queries in dict order and (as of
+    # round 3) covered only the first 50 of 71.  The oracle set is
+    # order-insensitive, so entries that have never appeared in a driver
+    # CORRECTNESS file come FIRST (VERDICT r3 item 2); the long-green KG/KB
+    # block follows.  tools/check_correctness.py runs all of them regardless.
     return {
+        # --- never driver-checked through r3: relational surface ---
+        "q1_pricing": rq.q1_pricing,
+        "nation_lineitem_counts": rq.nation_lineitem_counts,
+        "events_hourly": rq.events_hourly,
+        "events_sessionize": rq.events_sessionize,
+        "top_parts": rq.top_parts,
+        "orders_by_status": rq.orders_by_status,
+        "supplier_nation_join": rq.supplier_nation_join,
+        "events_top_users": rq.events_top_users,
+        "distinct_event_types": rq.distinct_event_types,
+        "lineitem_yearly": rq.lineitem_yearly,
+        "part_size_histogram": rq.part_size_histogram,
+        "customer_segments": rq.customer_segments,
+        # --- never driver-checked through r3: temporal/graph/sketch tail ---
+        "events_top3_by_user": _q_events_top3_by_user,
+        "graph_components": _q_graph_components,
+        "events_pivot": _q_events_pivot,
+        "top_tokens": _q_top_tokens,
+        "len_quantiles": _q_len_quantiles,
+        "lang_len_quantiles": _q_lang_len_quantiles,
+        "vocab_distinct": _q_vocab_distinct,
+        "np_chunks": _q_np_chunks,
+        "kg_rated": _q_kg_rated,
         # --- KG-construction pipeline (SURVEY.md §2.1/§2.3/§2.4) ---
         "kg_spot": views.kg_spot,
         "kg_spot_ci": views.kg_spot_ci,
@@ -1022,28 +1050,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_touch": _q_events_last_touch,
         "events_window": _q_events_window,
         "events_click_window": _q_events_click_window,
-        "events_top3_by_user": _q_events_top3_by_user,
-        "graph_components": _q_graph_components,
-        "events_pivot": _q_events_pivot,
-        "top_tokens": _q_top_tokens,
-        "len_quantiles": _q_len_quantiles,
-        "lang_len_quantiles": _q_lang_len_quantiles,
-        "vocab_distinct": _q_vocab_distinct,
-        "np_chunks": _q_np_chunks,
-        "kg_rated": _q_kg_rated,
-        # --- relational surface ---
-        "q1_pricing": rq.q1_pricing,
-        "nation_lineitem_counts": rq.nation_lineitem_counts,
-        "events_hourly": rq.events_hourly,
-        "events_sessionize": rq.events_sessionize,
-        "top_parts": rq.top_parts,
-        "orders_by_status": rq.orders_by_status,
-        "supplier_nation_join": rq.supplier_nation_join,
-        "events_top_users": rq.events_top_users,
-        "distinct_event_types": rq.distinct_event_types,
-        "lineitem_yearly": rq.lineitem_yearly,
-        "part_size_histogram": rq.part_size_histogram,
-        "customer_segments": rq.customer_segments,
     }
 
 

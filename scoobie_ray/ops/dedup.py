@@ -155,6 +155,27 @@ def jaccard_u64(a: np.ndarray, b: np.ndarray) -> float:
     return inter / max(1, len(a) + len(b) - inter)
 
 
+def jaccard_u64_many(a: np.ndarray, bs: list) -> np.ndarray:
+    """Batched :func:`jaccard_u64` of one sorted-distinct hash array against
+    many: ONE searchsorted over the concatenation of the right sides plus a
+    segment bincount, instead of a per-pair ``intersect1d``.  This is the
+    broadcast-verify kernel once pairs are grouped by their left doc
+    (r3-VERDICT item 8)."""
+    if not bs:
+        return np.zeros(0)
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+    if int(lens.sum()) == 0 or len(a) == 0:
+        jac = np.zeros(len(bs))
+        jac[(lens == 0) & (len(a) == 0)] = 1.0
+        return jac
+    cat = np.concatenate(bs)
+    pos = np.searchsorted(a, cat)
+    hit = a[np.minimum(pos, len(a) - 1)] == cat
+    seg = np.repeat(np.arange(len(bs)), lens)
+    inter = np.bincount(seg[hit], minlength=len(bs))
+    return inter / np.maximum(len(a) + lens - inter, 1)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 
@@ -220,6 +241,46 @@ def _shuffle_parallelism() -> int:
     return max(8, min(64, cpus))
 
 
+_FULL_CAP = 32  # all in-bucket pairs for buckets up to this size
+_WINDOW = 8  # trailing-window pairs (plus the star) above it
+
+
+def _sorted_bucket_pair_idx(bk: np.ndarray, full_cap: int = _FULL_CAP, window: int = _WINDOW):
+    """Candidate-pair ROW INDICES over an array sorted by (bucket key, id):
+    the COMPLETE pair graph for buckets of ≤ ``full_cap`` rows (exactly the
+    all-pairs oracle semantics — the r3 recall fix that caught the isolated
+    J=0.98 pair a smaller-id hub was masking), star (hub = bucket-min row)
+    plus a trailing ``window`` above it (bounded approximation: a miss needs
+    a >full_cap bucket AND a >window id-gap in every shared band).
+
+    Shared by minhash/ngram (:func:`_bucket_star_pairs`), simhash and
+    embedding dedup so all four families have identical candidate recall.
+    Duplicate pairs across the two regimes are fine (union-find downstream
+    is idempotent); callers filter ``ids[a_idx] != ids[b_idx]``."""
+    n = len(bk)
+    idx = np.arange(n, dtype=np.int64)
+    if n == 0:
+        return idx, idx
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    first[1:] = bk[1:] != bk[:-1]
+    start = np.maximum.accumulate(np.where(first, idx, 0))
+    starts_idx = np.flatnonzero(first)
+    sizes = np.diff(np.append(starts_idx, n))
+    size_r = np.repeat(sizes, sizes)  # bucket size forward-filled per row
+    loc = idx - start  # local index within bucket
+    w = np.where(size_r <= full_cap, loc, np.minimum(loc, window))
+    tot = int(w.sum())
+    b_idx = np.repeat(idx, w)
+    cum = np.cumsum(w) - w
+    a_idx = np.arange(tot) - np.repeat(cum, w) + np.repeat(idx - w, w)
+    # star pairs keep far rows of giant buckets reachable from the hub
+    big = (~first) & (size_r > full_cap)
+    a_idx = np.concatenate([a_idx, start[big]])
+    b_idx = np.concatenate([b_idx, idx[big]])
+    return a_idx, b_idx
+
+
 def _bucket_star_pairs(sig_ds, id_col: str):
     """Candidate star pairs (bucket-min ↔ each bucket-mate), fully
     distributed and vectorized: band rows are hash-PARTITIONED on band_key
@@ -242,42 +303,14 @@ def _bucket_star_pairs(sig_ds, id_col: str):
         part = (_splitmix64(bk) % np.uint64(P)).astype(np.int64)
         return t.append_column("_part", pa.array(part))
 
-    FULL_CAP = 32  # all pairs for buckets up to this size
-    WINDOW = 8  # trailing-window pairs (plus the star) above it
-
     def emit(part: pd.DataFrame) -> pd.DataFrame:
         if not len(part):
             e = part[id_col].iloc[:0]
             return pd.DataFrame({"a": e, "b": e})
         df = part.sort_values(["band_key", id_col], kind="mergesort")
-        bk = df["band_key"].to_numpy()
+        a_idx, b_idx = _sorted_bucket_pair_idx(df["band_key"].to_numpy())
         ids = df[id_col].to_numpy()
-        n = len(df)
-        first = np.empty(n, dtype=bool)
-        first[0] = True
-        first[1:] = bk[1:] != bk[:-1]
-        start = np.maximum.accumulate(np.where(first, np.arange(n), 0))
-        # bucket size per row (run length forward-filled like `start`)
-        starts_idx = np.flatnonzero(first)
-        sizes = np.diff(np.append(starts_idx, n))
-        size_r = np.repeat(sizes, sizes)
-        loc = np.arange(n) - start  # local index within bucket
-        # pair fan-in per row: ALL preceding bucket rows while the bucket
-        # is small (complete pair graph == the oracle's all-pairs
-        # semantics), else a trailing window — a star+window approximation
-        # whose misses require a >FULL_CAP bucket AND >WINDOW id-gap in
-        # every shared band (the r2-documented recall caveat, now bounded)
-        w = np.where(size_r <= FULL_CAP, loc, np.minimum(loc, WINDOW))
-        tot = int(w.sum())
-        b_side = np.repeat(ids, w)
-        cum = np.cumsum(w) - w
-        a_idx = np.arange(tot) - np.repeat(cum, w) + np.repeat(np.arange(n) - w, w)
-        a_side = ids[a_idx]
-        # star pairs keep far rows of giant buckets reachable from the hub
-        hub = ids[start]
-        big = (~first) & (hub != ids) & (size_r > FULL_CAP)
-        a = np.concatenate([a_side, hub[big]])
-        b = np.concatenate([b_side, ids[big]])
+        a, b = ids[a_idx], ids[b_idx]
         keep = a != b
         return pd.DataFrame({"a": a[keep], "b": b[keep]})
 
@@ -444,12 +477,19 @@ def _attach_texts_and_verify(pairs_ds, corpus_ds, id_col, text_col, prepare, acc
     return withtext.groupby("_part2").map_groups(verify_part, batch_format="pandas")
 
 
-def _broadcast_verify(pairs_ds, corpus_ds, id_col, text_col, prepare, accept):
+def _broadcast_verify(pairs_ds, corpus_ds, id_col, text_col, prepare, accept, accept_many=None):
     """Verify path for the common case (candidate pairs RARE — chosen by
     the caller from the exact pair count): collect the small pair table,
     gather candidate texts with a DISTRIBUTED filtered scan (only matching
     rows leave the workers — the driver never iterates the corpus), then
     verify the pairs distributed against the broadcast text map.
+
+    The pair table is sorted by (a, b), so equal-``a`` runs are contiguous:
+    verification walks RUNS, preparing each left doc once and — when the
+    caller supplies ``accept_many(sketch_a, [sketch_b, ...]) -> bool[]`` —
+    evaluating the whole run in one numpy kernel instead of a Python
+    ``accept`` call per pair (r3-VERDICT item 8; see
+    :func:`jaccard_u64_many`).
 
     Returns a verified (a, b) dataset."""
     import ray
@@ -501,12 +541,34 @@ def _broadcast_verify(pairs_ds, corpus_ds, id_col, text_col, prepare, accept):
                 s = sketch_cache[pid] = prepare(texts[pid])
             return s
 
-        keep_a, keep_b = [], []
-        for x, y in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            if x in texts and y in texts and accept(sk(x), sk(y)):
-                keep_a.append(x)
-                keep_b.append(y)
-        return pa.table({"a": pa.array(keep_a), "b": pa.array(keep_b)})
+        a_list = batch["a"].to_pylist()
+        b_list = batch["b"].to_pylist()
+        n = len(a_list)
+        keep = np.zeros(n, dtype=bool)
+        i = 0
+        while i < n:
+            j = i
+            x = a_list[i]
+            while j < n and a_list[j] == x:
+                j += 1
+            if x in texts:
+                sa = sk(x)
+                present = [t for t in range(i, j) if b_list[t] in texts]
+                if accept_many is not None:
+                    ok = accept_many(sa, [sk(b_list[t]) for t in present])
+                    for t, r in zip(present, ok):
+                        keep[t] = bool(r)
+                else:
+                    for t in present:
+                        keep[t] = accept(sa, sk(b_list[t]))
+            i = j
+        idx = np.flatnonzero(keep)
+        return pa.table(
+            {
+                "a": pa.array([a_list[t] for t in idx]),
+                "b": pa.array([b_list[t] for t in idx]),
+            }
+        )
 
     # from_arrow yields ONE block; split so verification parallelizes
     par = _shuffle_parallelism()
@@ -526,6 +588,7 @@ def _near_dedup_lsh(
     accept,
     broadcast_pair_limit: int = 2_000_000,
     broadcast_resolve_limit: int = 2_000_000,
+    accept_many=None,
 ):
     """Shared minhash/ngram skeleton: band signatures → partition-wise
     bucket star pairs → verify (broadcast when the exact pair count is
@@ -539,7 +602,9 @@ def _near_dedup_lsh(
     if pairs is None:
         return ds
     if n_pairs <= broadcast_pair_limit:
-        verified = _broadcast_verify(pairs, ds, id_col, text_col, prepare, accept)
+        verified = _broadcast_verify(
+            pairs, ds, id_col, text_col, prepare, accept, accept_many
+        )
     else:
         verified = _attach_texts_and_verify(pairs, ds, id_col, text_col, prepare, accept)
     return _resolve_and_filter(ds, verified, id_col, broadcast_resolve_limit)
@@ -863,6 +928,7 @@ def minhash_dedup(
         text_col,
         prepare=lambda t: char_shingles(t, shingle_k),
         accept=lambda sa, sb: jaccard_u64(sa, sb) >= threshold,
+        accept_many=lambda sa, sbs: jaccard_u64_many(sa, sbs) >= threshold,
         broadcast_resolve_limit=broadcast_resolve_limit,
     )
 
@@ -899,8 +965,11 @@ def _simhash_bands_fn(id_col: str, text_col: str):
     return fn
 
 
-def _hamming_to_first(sigs: np.ndarray) -> np.ndarray:
-    x = np.bitwise_xor(sigs, sigs[0])
+def _hamming_u64(xa: np.ndarray, xb: np.ndarray) -> np.ndarray:
+    """Elementwise Hamming distance between two uint64 signature arrays."""
+    x = np.bitwise_xor(xa, xb)
+    if len(x) == 0:
+        return np.zeros(0, dtype=np.int64)
     return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
 
 
@@ -913,28 +982,43 @@ def simhash_dedup(
 ):
     """SimHash near-dedup: identical 16-bit band → candidate; verification
     (Hamming ≤ max_hamming on the full 64-bit signature) happens INSIDE the
-    bucket ``map_groups`` — the 8-byte signature rides the band shuffle, so
-    no second pass and no driver text fetch."""
+    bucket partition — the 8-byte signature rides the band shuffle, so no
+    second pass and no driver text fetch.  Candidate fan-out is the shared
+    :func:`_sorted_bucket_pair_idx` shape: the COMPLETE in-bucket pair graph
+    for buckets ≤ 32 rows (a true pair B–C no longer depends on the
+    bucket-min hub being within threshold of either — r3-VERDICT item 3),
+    star+window above.  Buckets are hash-PARTITIONED (P vectorized partition
+    calls, not one Python call per bucket)."""
     import pandas as pd
 
     sig = ds.select_columns([id_col, text_col]).map_batches(
         _simhash_bands_fn(id_col, text_col), batch_format="pyarrow"
     )
 
-    def bucket_verified_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(id_col)
-        if len(g) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)})
-        ids = g[id_col].tolist()
-        ham = _hamming_to_first(g["sig"].to_numpy(dtype=np.uint64))
-        keep = np.flatnonzero(ham[1:] <= max_hamming) + 1
-        return pd.DataFrame({"a": [ids[0]] * len(keep), "b": [ids[i] for i in keep]})
+    P = _shuffle_parallelism()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        bk = t["band_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (_splitmix64(bk) % np.uint64(P)).astype(np.int64)
+        return t.append_column("_part", pa.array(part))
+
+    def part_verified_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            e = part[id_col].iloc[:0]
+            return pd.DataFrame({"a": e, "b": e})
+        df = part.sort_values(["band_key", id_col], kind="mergesort")
+        a_idx, b_idx = _sorted_bucket_pair_idx(df["band_key"].to_numpy())
+        ids = df[id_col].to_numpy()
+        sigs = df["sig"].to_numpy(dtype=np.uint64)
+        ham = _hamming_u64(sigs[a_idx], sigs[b_idx])
+        keep = (ham <= max_hamming) & (ids[a_idx] != ids[b_idx])
+        return pd.DataFrame({"a": ids[a_idx[keep]], "b": ids[b_idx[keep]]})
 
     # duplicate (a, b) rows across bands are fine: union-find is idempotent
     verified = (
-        sig.repartition(_shuffle_parallelism())
-        .groupby("band_key")
-        .map_groups(bucket_verified_pairs, batch_format="pandas")
+        sig.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(part_verified_pairs, batch_format="pandas")
     )
     return _resolve_and_filter(ds, verified, id_col, broadcast_resolve_limit)
 
@@ -1010,38 +1094,48 @@ def embedding_dedup(
     broadcast_resolve_limit: int = 2_000_000,
 ):
     """Embedding-cosine near-dup: normalize → hyperplane-LSH bucket →
-    verify cosine INSIDE the bucket group (vectors ride the shuffle) →
-    drop non-representatives via broadcast anti-join."""
+    verify cosine INSIDE the bucket partition (vectors ride the shuffle) →
+    drop non-representatives via broadcast anti-join.  In-bucket candidates
+    are the shared :func:`_sorted_bucket_pair_idx` complete-graph-≤32 shape
+    (r3-VERDICT item 3), and the cosine check is ONE batched einsum per
+    hash partition rather than a Python call per bucket."""
     import pandas as pd
 
     lsh = _HyperplaneLSH(dim, n_bits)
+    P = _shuffle_parallelism()
 
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         vecs = np.stack(batch[vec_col].to_numpy()).astype(np.float32)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         vecs = vecs / np.maximum(norms, 1e-12)
+        buckets = lsh.bucket(vecs).astype(np.uint64)
         return pd.DataFrame(
             {
-                "bucket": lsh.bucket(vecs),
+                "bucket": buckets,
                 id_col: batch[id_col].to_numpy(),
                 "vec": list(vecs),
+                "_part": (_splitmix64(buckets) % np.uint64(P)).astype(np.int64),
             }
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(id_col)
-        ids = g[id_col].tolist()
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        vecs = np.stack(g["vec"].to_numpy())
-        sims = vecs @ vecs[0]
-        keep = [i for i in range(1, len(ids)) if sims[i] >= threshold]
-        return pd.DataFrame({"a": [ids[0]] * len(keep), "b": [ids[i] for i in keep]})
+    def part_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            e = part[id_col].iloc[:0]
+            return pd.DataFrame({"a": e, "b": e})
+        df = part.sort_values(["bucket", id_col], kind="mergesort")
+        a_idx, b_idx = _sorted_bucket_pair_idx(df["bucket"].to_numpy())
+        ids = df[id_col].to_numpy()
+        if not len(a_idx):
+            return pd.DataFrame({"a": ids[:0], "b": ids[:0]})
+        vecs = np.stack(df["vec"].to_numpy())
+        sims = np.einsum("ij,ij->i", vecs[a_idx], vecs[b_idx])
+        keep = (sims >= threshold) & (ids[a_idx] != ids[b_idx])
+        return pd.DataFrame({"a": ids[a_idx[keep]], "b": ids[b_idx[keep]]})
 
     verified = (
         ds.select_columns([id_col, vec_col])
         .map_batches(bucketize, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(part_pairs, batch_format="pandas")
     )
     return _resolve_and_filter(ds, verified, id_col, broadcast_resolve_limit)

@@ -958,9 +958,13 @@ SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) = a
 # banding IS the operator's semantics and is replicated):
 # DuckDB md5_number_upper == int.from_bytes(md5[:8], 'little'), the same
 # word hash as ops/dedup.py _hash_str; per-bit weighted sign -> signature;
-# identical band chunk -> candidate vs bucket-min; Hamming <= 3 verify;
-# connected components.  Caveat: assumes no empty doc texts (str_split('')
-# yields [''] while Python ''.split() yields []).
+# identical band chunk -> candidate per _sorted_bucket_pair_idx (COMPLETE
+# in-bucket pair graph for buckets <= 32 rows, bucket-min star + trailing
+# window of 8 id-ranks above — r4, replacing the star-only rule); Hamming
+# <= 3 verify; connected components.  At sf0.1 the largest band bucket is
+# 291 rows, so the cap branch is exercised by the gate.  Caveat: assumes
+# no empty doc texts (str_split('') yields [''] while Python ''.split()
+# yields []).
 ORACLES["dedup_simhash"] = r"""
 WITH RECURSIVE norm AS (
   SELECT doc_id, str_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
@@ -990,11 +994,17 @@ bands AS (
   SELECT s.doc_id, s.h, bi.band, (s.h >> (16 * bi.band)) & 65535 AS chunk
   FROM sig s CROSS JOIN bandidx bi
 ),
-hubs AS (SELECT band, chunk, min(doc_id) AS hub FROM bands GROUP BY band, chunk),
+ranked AS (
+  SELECT doc_id, band, chunk,
+         row_number() OVER (PARTITION BY band, chunk ORDER BY doc_id) AS rk,
+         count(*) OVER (PARTITION BY band, chunk) AS sz
+  FROM bands
+),
 cand AS (
-  SELECT DISTINCT h2.hub AS da, b2.doc_id AS db
-  FROM bands b2 JOIN hubs h2 ON h2.band = b2.band AND h2.chunk = b2.chunk
-  WHERE b2.doc_id <> h2.hub
+  SELECT DISTINCT ra.doc_id AS da, rb.doc_id AS db
+  FROM ranked ra JOIN ranked rb
+    ON ra.band = rb.band AND ra.chunk = rb.chunk AND ra.rk < rb.rk
+  WHERE ra.sz <= 32 OR ra.rk = 1 OR rb.rk - ra.rk <= 8
 ),
 edges AS (
   SELECT c.da, c.db FROM cand c

@@ -365,3 +365,96 @@ def test_cc_labels_matches_bfs_oracle(ray_session, pairs):
     )
     got = {r["n"]: r["l"] for r in _cc_labels(ds).take_all()}
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# r4 (VERDICT item 3): complete-graph in-bucket candidates for ALL dedup
+# families — the shared _sorted_bucket_pair_idx kernel plus a planted
+# B–C pair whose bucket-min hub is dissimilar to both.
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=200),
+)
+@settings(max_examples=60, deadline=None)
+def test_sorted_bucket_pair_idx_complete_below_cap(keys):
+    """For buckets ≤ full_cap the emitted index pairs are EXACTLY the
+    complete in-bucket pair graph (the all-pairs oracle semantics)."""
+    from scoobie_ray.ops.dedup import _sorted_bucket_pair_idx
+
+    bk = np.sort(np.asarray(keys, dtype=np.uint64))
+    a_idx, b_idx = _sorted_bucket_pair_idx(bk, full_cap=250, window=8)
+    got = set(zip(a_idx.tolist(), b_idx.tolist()))
+    expect = {
+        (i, j)
+        for i in range(len(bk))
+        for j in range(i + 1, len(bk))
+        if bk[i] == bk[j]
+    }
+    assert got == expect
+
+
+def test_sorted_bucket_pair_idx_star_window_above_cap():
+    """Above the cap: every row pairs with the bucket-min (star) and its 8
+    trailing neighbours (window); the complete graph is NOT emitted."""
+    from scoobie_ray.ops.dedup import _sorted_bucket_pair_idx
+
+    n = 40  # one bucket, > _FULL_CAP=32
+    bk = np.zeros(n, dtype=np.uint64)
+    a_idx, b_idx = _sorted_bucket_pair_idx(bk)
+    got = set(zip(a_idx.tolist(), b_idx.tolist()))
+    expect = {(max(0, j - w), j) for j in range(1, n) for w in range(1, 9)} | {
+        (0, j) for j in range(1, n)
+    }
+    assert got == expect
+    assert (20, 35) not in got  # id-gap beyond the window, not the hub
+
+
+def test_embedding_dedup_planted_pair_dissimilar_hub(ray_session):
+    """A planted true pair B–C in a bucket whose min-id member A is within
+    threshold of NEITHER: the r3 star-only verify missed it (embedding has
+    a single banding, so no other bucket could catch it); the r4
+    complete-graph rule must drop C."""
+    import pandas as pd
+    import ray.data
+
+    from scoobie_ray.ops.dedup import _HyperplaneLSH, embedding_dedup
+
+    dim = 8
+    planes = _HyperplaneLSH(dim, n_bits=1).planes[:, 0]
+    p = planes / np.linalg.norm(planes)
+    e1 = np.zeros(dim, dtype=np.float32)
+    e1[0] = 1.0
+    q = e1 - (e1 @ p) * p
+    q = q / np.linalg.norm(q)
+    b_vec = p
+    c_vec = p + 0.01 * q  # cos(B, C) ≈ 1.0
+    a_vec = p * np.linalg.norm(planes) + 5.0 * q  # same sign bucket, cos < 0.95
+    assert a_vec @ planes > 0 and b_vec @ planes > 0 and c_vec @ planes > 0
+    cos_ab = (a_vec @ b_vec) / np.linalg.norm(a_vec)
+    assert cos_ab < 0.95
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "vec_id": np.array([1, 2, 3], dtype=np.int64),
+                "embedding": [a_vec.tolist(), b_vec.tolist(), c_vec.tolist()],
+            }
+        )
+    )
+    kept = sorted(r["vec_id"] for r in embedding_dedup(ds, dim=dim, n_bits=1).take_all())
+    assert kept == [1, 2]
+
+
+def test_jaccard_u64_many_matches_scalar():
+    """The batched broadcast-verify kernel equals per-pair jaccard_u64."""
+    from scoobie_ray.ops.dedup import char_shingles, jaccard_u64, jaccard_u64_many
+
+    texts = ["abcdefgh", "abcdefgx", "zzzzzzzz", "", "abc"]
+    sks = [char_shingles(t, 5) for t in texts]
+    a = sks[0]
+    got = jaccard_u64_many(a, sks)
+    expect = np.array([jaccard_u64(a, b) for b in sks])
+    assert np.allclose(got, expect)
+    assert np.allclose(jaccard_u64_many(char_shingles("", 5), [sks[3]]), [1.0])
+    assert len(jaccard_u64_many(a, [])) == 0

@@ -233,7 +233,7 @@ def test_ngram_dedup(dup_docs):
     [
         ("dedup_exact", 500, "c7b8df7a9677"),
         ("dedup_minhash", 476, "9e788b79dfa8"),
-        ("dedup_simhash", 481, "ff4c23d830cd"),
+        ("dedup_simhash", 480, "df541e97049d"),
         ("dedup_ngram", 476, "9e788b79dfa8"),
         ("dedup_embedding", 500, "c7b8df7a9677"),
     ],
@@ -241,12 +241,15 @@ def test_ngram_dedup(dup_docs):
 def test_dedup_goldens_sf0001(ray_session, name, n_rows, ids_md5):
     """Locked surviving-id sets at sf0.001 (VERDICT r1 item 1: the
     distributed-verification rewrite must keep identical row sets).
-    simhash/minhash/exact/embedding are hash-identical to round 1; ngram
-    goldens moved twice for recall wins — r3a caught doc 462 (near-dup of
-    458, Jaccard 0.98) missed by the old md5 LSH, and late-r3's
+    minhash/exact/embedding are hash-identical to round 1; ngram goldens
+    moved twice for recall wins — r3a caught doc 462 (near-dup of 458,
+    Jaccard 0.98) missed by the old md5 LSH, and late-r3's
     all-pairs-under-cap bucket emission caught doc 411 (near-dup of 349,
     Jaccard 0.98) whose every shared bucket had a smaller-id false-hub —
-    ngram now matches minhash AND the all-pairs DuckDB oracle exactly."""
+    ngram now matches minhash AND the all-pairs DuckDB oracle exactly.
+    simhash moved once (481→480) when r4 ported the same
+    all-pairs-under-cap rule to its in-bucket Hamming verify: one true
+    pair's shared buckets all had a dissimilar smaller-id hub."""
     import hashlib
     import sys
 
