@@ -727,6 +727,34 @@ def _q_np_chunks(sf_dir: str):
     )
 
 
+def _q_kg_rated_rank(sf_dir: str):
+    """Per-doc relevance RANKING under the position metric — the bounded
+    oracle gate for the rating stage (r3-VERDICT item 5).  The fixture
+    corpus resolves exactly two subjects per doc with identical degree and
+    tf, so those z-normed columns vanish and only PositionBasedRating
+    discriminates; rank 1 = earliest resolved mention, tie-break subject
+    URI.  Output: doc_id, rank:int64, subj (integers/strings only)."""
+    import ray
+    import ray.data
+
+    from scoobie_ray.pipelines.extract import annotate_docs
+    from scoobie_ray.pipelines.postprocess import rated_ranks
+    from scoobie_ray.sources.fixtures import kg_docs_table, kg_kb
+    from scoobie_ray.util import autoscale_concurrency
+
+    kb = kg_kb(sf_dir)
+    kb_ref = ray.put(kb.tables())
+    docs = ray.data.from_arrow(kg_docs_table(sf_dir))
+    annotated = annotate_docs(
+        docs,
+        kb_ref,
+        concurrency=autoscale_concurrency(cap=8),
+        rate=("position",),
+        segment=True,
+    )
+    return rated_ranks(annotated, kb_ref)
+
+
 def _q_kg_rated(sf_dir: str):
     """Corpus-level top-20 entities by fused relevance (ListSerializer
     semantics; rows-only: float scores)."""
@@ -997,6 +1025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_len_quantiles": _q_lang_len_quantiles,
         "vocab_distinct": _q_vocab_distinct,
         "np_chunks": _q_np_chunks,
+        "kg_rated_rank": _q_kg_rated_rank,
         "kg_rated": _q_kg_rated,
         # --- KG-construction pipeline (SURVEY.md §2.1/§2.3/§2.4) ---
         "kg_spot": views.kg_spot,

@@ -78,6 +78,10 @@ def run_bench() -> dict:
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    from scoobie_ray.util import quiet_ray_data_chatter
+
+    quiet_ray_data_chatter()
+
     from scoobie_ray.pipelines.canonicalize import canonicalize
     from scoobie_ray.pipelines.extract import extract_triples
     from scoobie_ray.sources.docs import read_docs
@@ -102,13 +106,28 @@ def run_bench() -> dict:
     # 5→16.9, 6→16.7, 7→14.6; at 32 cpus: 24→13.1s, 28→12.0, 30→13.5 —
     # so small sessions run N-1 and large ones 7N/8
     pool = max(1, NUM_CPUS - 1 if NUM_CPUS <= 8 else (7 * NUM_CPUS) // 8)
-    t0 = time.time()
-    docs = read_docs(docs_path, override_num_blocks=128)
-    canon = canonicalize(
-        extract_triples(docs, kb, concurrency=pool, batch_size=1024, encoded=True)
-    )
-    decode_triples(canon, kb).write_parquet(out_dir)
-    headline = time.time() - t0
+    # median-of-3 WITHIN the run (r3-VERDICT item 7): single-shot headline
+    # walls on this box spread 11-29 s on identical code, so one sample per
+    # round made driver snapshots un-interpretable.  Each repetition is a
+    # full fresh pipeline (actors rebuilt); the median + spread ride the
+    # JSON record.
+    headline_runs: list[float] = []
+    n_headline = int(os.environ.get("SCOOBIE_BENCH_HEADLINE_RUNS", "3"))
+    for rep in range(n_headline):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        docs = read_docs(docs_path, override_num_blocks=128)
+        canon = canonicalize(
+            extract_triples(docs, kb, concurrency=pool, batch_size=1024, encoded=True)
+        )
+        decode_triples(canon, kb).write_parquet(out_dir)
+        headline_runs.append(time.time() - t0)
+        # let the actor pool tear down before the next repetition
+        for _ in range(100):
+            if ray.available_resources().get("CPU", 0) >= NUM_CPUS - 1:
+                break
+            time.sleep(0.1)
+    headline = sorted(headline_runs)[len(headline_runs) // 2]
     queries["kg_triples_e2e"] = round(headline, 3)
 
     # canonical rows + emitted (pre-dedup) triple count from the n_docs sums
@@ -136,6 +155,7 @@ def run_bench() -> dict:
             "canonical_triples": canonical_rows,
             "emitted_triples": emitted,
             "triples_per_sec": round(emitted / headline, 1),
+            "headline_runs": [round(w, 3) for w in headline_runs],
         }
 
     # ---- secondary pipelines ----
@@ -273,6 +293,7 @@ def run_bench() -> dict:
         "canonical_triples": canonical_rows,
         "emitted_triples": emitted,
         "triples_per_sec": round(emitted / headline, 1),
+        "headline_runs": [round(w, 3) for w in headline_runs],
     }
 
 

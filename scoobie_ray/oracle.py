@@ -239,6 +239,34 @@ UNION SELECT subj, pred, obj, graph FROM predicted
 """
 )
 
+# kg_rated_rank: the rating stage's oracle-gateable face (integer per-doc
+# ranks, not float scores).  Under metrics=("position",) the fused score is
+# the z-normed (docLength − firstOccurrenceStart), so rank order ==
+# first-resolved-mention start ascending, tie-break subject URI.  The
+# degree/tf columns are omitted deliberately: the fixture corpus resolves
+# exactly two subjects per doc with identical degree and tf, so their
+# z-norms are 0 and any product fusion containing them degenerates to an
+# all-tie (rating/RelevanceRating.java:52-86 semantics preserved; the full
+# fused ListSerializer output stays pytest-gated).
+ORACLES["kg_rated_rank"] = (
+    f"{_KG_PREFIX}, {MENTIONS}, {SPOT}, {RESOLVED} "
+    """
+, sub_first AS (
+  SELECT r.doc_id, r.subj, min(s.m_start) AS first_start
+  FROM resolved r
+  JOIN spot s ON s.doc_id = r.doc_id
+  JOIN labels l ON l.label = s.literal AND l.uri = r.subj
+  GROUP BY r.doc_id, r.subj
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY first_start ASC, subj ASC) AS BIGINT)
+         AS "rank",
+       subj
+FROM sub_first
+"""
+)
+
 ORACLES["kg_spans"] = (
     f"{_KG_PREFIX} "
     """

@@ -51,7 +51,7 @@ class ExtractActor:
         case_sensitive: bool = True,
         emit: str = "triples",  # "triples" | "annotations"
         encoded: bool = False,
-        rate: bool = False,
+        rate: bool | tuple = False,
         template=None,
         segment: bool = False,
         tag: bool = False,
@@ -73,7 +73,12 @@ class ExtractActor:
         self.link = Linker(index, template=resolved)
         self.disambiguate = Disambiguator(index, resolver=resolver, template=resolved)
         self.facts = FactStage(index, markov_k=markov_k)
-        self.rater = RelevanceRater(index) if rate else None
+        # rate: False | True (default metric set) | tuple of metric names
+        self.rater = (
+            RelevanceRater(index, metrics=rate)
+            if isinstance(rate, tuple)
+            else (RelevanceRater(index) if rate else None)
+        )
         self.serializer = TripleSerializer(index, encoded=encoded)
         self.emit = emit
         self.segment = segment or tag or classify
@@ -229,7 +234,7 @@ def annotate_docs(
     markov_k: int = 1,
     case_sensitive: bool = True,
     segment: bool = False,
-    rate: bool = False,
+    rate: bool | tuple = False,
 ):
     """docs Dataset -> annotated docs Dataset (all per-doc list columns
     retained, spans untouched).  Used by per-stage queries/tests and by the

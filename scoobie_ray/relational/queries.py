@@ -66,9 +66,12 @@ def q1_pricing(sf_dir: str):
 
 
 def nation_lineitem_counts(sf_dir: str):
-    """Per-nation lineitem counts via lineitem⋈orders (hash-partitioned
-    Dataset.join — both sides large) then a broadcast customer→nation map
-    (small side shipped once via ray.put) and a final small groupby.
+    """Per-nation lineitem counts via TWO hash-partitioned ``Dataset.join``s
+    — lineitem⋈orders, then per-customer partial counts⋈customer.  Customer
+    grows with SF (150k × SF rows), so it is NOT a broadcastable small side
+    (r3-VERDICT item 4 — this replaced a driver-side ``pq.read_table`` +
+    ``ray.put`` of the whole customer map); only nation (a constant 25
+    rows) is broadcast as a lookup.
 
     Output: n_name, n_items:int64.
     """
@@ -77,6 +80,7 @@ def nation_lineitem_counts(sf_dir: str):
 
     li = _read(sf_dir, "lineitem", ["l_orderkey"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
 
     # pre-aggregate lineitem per orderkey before the join (combiner)
     def count_per_order(t: pa.Table) -> pa.Table:
@@ -97,29 +101,44 @@ def nation_lineitem_counts(sf_dir: str):
         right_on=("o_orderkey",),
     )
 
+    # combiner again: collapse to ≤1 row per customer per block, then one
+    # exact row per customer, before shuffling against the customer table
+    def count_per_cust(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("li_n", "sum")])
+        return g.rename_columns(["o_custkey", "li_n"])
+
+    per_cust = (
+        joined.map_batches(count_per_cust, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("li_n", alias_name="li_n"))
+    )
+
+    cust_joined = per_cust.join(
+        customer,
+        join_type="inner",
+        num_partitions=16,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    nname = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
-    # broadcast (key array, value array) once; lookups are a vectorized
-    # Arrow dictionary join (pc.index_in + take), no per-row Python
-    cn_ref = ray.put(
-        (
-            cust["c_custkey"].combine_chunks(),
-            pa.array(
-                [nname[n] for n in cust["c_nationkey"].to_pylist()], pa.string()
-            ),
-        )
+    # broadcast the tiny nation map once; lookups are a vectorized Arrow
+    # dictionary join (pc.index_in + take), no per-row Python
+    n_ref = ray.put(
+        (nation["n_nationkey"].combine_chunks(), nation["n_name"].combine_chunks())
     )
 
     def map_nation(t: pa.Table) -> pa.Table:
-        keys, vals = ray.get(cn_ref)
-        idx = pc.index_in(t["o_custkey"], value_set=keys)
-        return pa.table({"n_name": pc.take(vals, idx), "li_n": t["li_n"]})
+        keys, vals = ray.get(n_ref)
+        idx = pc.index_in(t["c_nationkey"], value_set=keys)
+        tt = pa.table({"n_name": pc.take(vals, idx), "li_n": t["li_n"]})
+        g = tt.group_by("n_name").aggregate([("li_n", "sum")])
+        return g.rename_columns(["n_name", "li_n"])
 
     per_nation = (
-        joined.map_batches(map_nation, batch_format="pyarrow")
+        cust_joined.map_batches(map_nation, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Sum("li_n", alias_name="n_items_f"))
     )

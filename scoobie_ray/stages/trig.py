@@ -93,8 +93,14 @@ def write_trig(
     namespace: str = "http://example.org/extract",
 ):
     """Distributed TriG export: each block renders its own fragment and
-    writes ``part-<i>.trig`` under ``out_dir``.  Returns the part count.
-    The KB rides along as a broadcast ref (one ``ray.put``)."""
+    WRITES it from the worker task (r4, replacing a driver-side
+    ``take_all`` of the rendered text — at scale the driver never holds
+    the corpus).  Part files are content-hash named
+    (``part-<md5(text)[:16]>.trig``), so a re-run overwrites identical
+    fragments in place instead of duplicating them; only a tiny manifest
+    row (path, n_triples) per block returns to the driver.  Returns the
+    part count.  The KB rides along as a broadcast ref (one ``ray.put``)."""
+    import hashlib
     import os
 
     import ray
@@ -108,16 +114,30 @@ def write_trig(
             self.uris = uris
             self.literal_strings = lits
 
-    def render(batch: pa.Table, ctx=None) -> pa.Table:
+    def render_and_write(batch: pa.Table, ctx=None) -> pa.Table:
+        if not len(batch):
+            return pa.table(
+                {"path": pa.array([], pa.string()), "n_triples": pa.array([], pa.int64())}
+            )
         uris, lits = ray.get(payload)
         text = _format_lines(*_decode_block(batch, _Shim(uris, lits)), namespace)
-        return pa.table({"trig": pa.array([text], pa.string())})
+        name = f"part-{hashlib.md5(text.encode('utf-8')).hexdigest()[:16]}.trig"
+        path = os.path.join(out_dir, name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)  # atomic: readers never see a partial part
+        return pa.table(
+            {
+                "path": pa.array([path], pa.string()),
+                "n_triples": pa.array([len(batch)], pa.int64()),
+            }
+        )
 
-    parts = canonical_ds.map_batches(render, batch_format="pyarrow").take_all()
-    for i, row in enumerate(parts):
-        with open(os.path.join(out_dir, f"part-{i:05d}.trig"), "w") as f:
-            f.write(row["trig"])
-    return len(parts)
+    manifest = canonical_ds.map_batches(
+        render_and_write, batch_format="pyarrow"
+    ).take_all()
+    return len({row["path"] for row in manifest})
 
 
 def parse_trig(text: str) -> pa.Table:

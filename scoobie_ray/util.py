@@ -93,3 +93,34 @@ def limit_worker_threads(n: int = 1) -> None:
     pa.set_cpu_count(n)
     pa.set_io_thread_count(max(1, n))
     _limited = True
+
+
+def quiet_ray_data_chatter() -> None:
+    """Filter two known-benign Ray Data warnings so REAL executor warnings
+    stay visible (r3-VERDICT item 9) — a targeted message filter, not a
+    level change:
+
+    - ``Failed to hash the schemas (for deduplication)``: schema metadata
+      containing a dict is unhashable; Ray falls back to full unification
+      (transform_pyarrow.py:181) — cosmetic.
+    - ``RefBundle with a different schema … new schema: ``: sort/aggregate
+      partitions with zero rows emit schema-less blocks
+      (streaming_executor_state.py:793) — expected for sparse keys.
+    """
+    import logging
+
+    class _DropKnown(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            if "Failed to hash the schemas" in msg:
+                return False
+            if "RefBundle with a different schema" in msg and "new schema: ." in msg:
+                return False
+            return True
+
+    for name in (
+        "ray.data",
+        "ray.data._internal.execution.streaming_executor_state",
+        "ray.data._internal.arrow_ops.transform_pyarrow",
+    ):
+        logging.getLogger(name).addFilter(_DropKnown())

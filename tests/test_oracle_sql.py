@@ -46,7 +46,10 @@ def test_rows_only_set_is_intentional():
     # dedup_minhash / dedup_ngram gained LSH-free all-pairs oracles and
     # dedup_simhash an exact bit-level oracle in r2; the rest remain
     # genuinely non-SQL-expressible (hyperplane LSH needs the gaussian
-    # plane matrix, POS heuristics, float relevance)
+    # plane matrix, POS heuristics, float relevance).  Every rows-only
+    # entry is BOUNDED by an oracle-gated companion: knn_lsh/knn_ivf by
+    # the knn_*_recall gates, np_chunks by doc_pos_np, and (r4) kg_rated's
+    # rating stage by kg_rated_rank (integer per-doc ranks, hash-exact).
     assert rows_only == {
         "knn_lsh",
         "knn_ivf",
