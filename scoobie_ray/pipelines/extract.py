@@ -58,6 +58,7 @@ class ExtractActor:
         regex: bool = False,
         classify: bool = False,
         classifier_model=None,
+        chunker_model=None,
         langid: bool = False,
         strict: bool = True,
     ):
@@ -87,11 +88,19 @@ class ExtractActor:
         self.classifier = None
         self.regex = None
         self.langid = None
-        if tag or classify:
+        if tag or classify or chunker_model is not None:
             from ..stages.tag import NounPhraseChunker, POSTagger
 
+            self.segment = True
             self.tagger = POSTagger()
-            self.chunker = NounPhraseChunker()
+            if chunker_model is not None:
+                # trained conll2000 path (stages/chunk_train.py) — the
+                # model ships in fn_constructor_kwargs, once per actor
+                from ..stages.chunk_train import TrainedNPChunker
+
+                self.chunker = TrainedNPChunker(chunker_model)
+            else:
+                self.chunker = NounPhraseChunker()
         if classify:
             if classifier_model is not None:
                 # trained MaxEnt path (stages/classify_train.py) — the
