@@ -58,9 +58,11 @@ def _split_flat(text_col):
     emits empty edge tokens for leading/trailing whitespace (unlike
     ``str.split()``); those are masked out flat-side.  No per-row Python.
     """
-    if isinstance(text_col, pa.ChunkedArray):
-        text_col = text_col.combine_chunks()
-    text_col = pc.fill_null(text_col, "")
+    from ..util import compact_strings
+
+    # compaction into fresh heap buffers first: utf8 kernels misbehave on
+    # raw object-store buffers (see util.compact_strings)
+    text_col = pc.fill_null(compact_strings(text_col), "")
     toks = pc.utf8_split_whitespace(text_col)
     lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(toks)

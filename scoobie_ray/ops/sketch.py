@@ -40,8 +40,12 @@ _HLL_M = 1 << _HLL_P
 
 def _flat_tokens(batch: pa.Table, col: str) -> pa.Array:
     """Whitespace tokens of a batch, empties removed (Arrow emits '' at
-    string boundaries, exactly like DuckDB's string_split_regex)."""
-    toks = pc.list_flatten(pc.utf8_split_whitespace(batch[col]))
+    string boundaries, exactly like DuckDB's string_split_regex).  The
+    column is compacted into fresh heap buffers first — utf8 kernels
+    misbehave on raw object-store buffers (see util.compact_strings)."""
+    from ..util import compact_strings
+
+    toks = pc.list_flatten(pc.utf8_split_whitespace(compact_strings(batch[col])))
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     return toks.filter(pc.not_equal(toks, ""))

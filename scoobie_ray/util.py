@@ -124,3 +124,25 @@ def quiet_ray_data_chatter() -> None:
         "ray.data._internal.arrow_ops.transform_pyarrow",
     ):
         logging.getLogger(name).addFilter(_DropKnown())
+
+
+def compact_strings(col):
+    """Gather a (possibly object-store-backed) string column into fresh
+    heap buffers before running Arrow utf8 kernels on it.
+
+    pyarrow 16's utf8 split kernels can return SILENTLY WRONG results on
+    the buffers Ray's object store hands back zero-copy (observed:
+    ``utf8_split_whitespace(" c a ")`` → ``['', 'c', 'a ']`` — a dropped
+    separator — on ~35% of runs of a 5-doc corpus at 4 partitions, while
+    the same bytes in driver-allocated buffers split correctly every
+    time; the plasma buffers are 8-byte-aligned vs the 64-byte alignment
+    of pool allocations).  ``take`` materializes new pool-allocated
+    buffers, which makes the kernels deterministic again — regression
+    test: tests/test_sketch.py::test_token_counts_object_store_stress.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.take(pa.array(np.arange(len(col), dtype=np.int64)))

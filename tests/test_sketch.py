@@ -166,3 +166,18 @@ def test_hll_register_ranks():
     # 1<<50 -> register 1 with zero remainder (left-shift wraps) -> 51;
     # 1<<49 -> remainder's top bit set -> rank 1
     assert rank.tolist() == [51, 1, 51, 1]
+
+
+def test_token_counts_object_store_stress(ray_session):
+    """Regression for the r4 silent-corruption find: pyarrow 16 utf8 split
+    kernels return wrong tokens (dropped separators — 'a ' / ' ' tokens)
+    on raw Ray object-store buffers, nondeterministically (~35% of runs
+    before the util.compact_strings fix).  25 repetitions catch a
+    regression with overwhelming probability."""
+    texts = ["a b  a", " c a ", "", "b\tb\nc", "  "]
+    want = [("a", 3), ("b", 3), ("c", 2)]
+    for _ in range(25):
+        got = sorted(
+            map(tuple, token_counts(_docs_ds(texts)).to_pandas().values.tolist())
+        )
+        assert got == want, got

@@ -68,11 +68,11 @@ def main() -> int:
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, "/root/repo")  # script dir is tools/, not the repo
     from scoobie_ray.util import quiet_ray_data_chatter
 
     quiet_ray_data_chatter()
-
-    sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
