@@ -388,6 +388,10 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             SCOOBIE_BENCH_HEADLINE_ONLY="1",
+            # one headline wall per subprocess: the median-of-N for the
+            # scaling statistic is taken ACROSS the `runs` fresh sessions,
+            # so the in-run median-of-3 would only triple the cost here
+            SCOOBIE_BENCH_HEADLINE_RUNS="1",
             # measure scaling on the SAME corpus as the headline bench
             # (40 replicas).  Larger corpora inflate the low-parallelism
             # side instead: with more repeats the per-actor winner memo
