@@ -326,7 +326,9 @@ def _bucket_star_pairs(sig_ds, id_col: str):
     return pairs, n_pairs
 
 
-def _attach_texts_and_verify(pairs_ds, corpus_ds, id_col, text_col, prepare, accept):
+def _attach_texts_and_verify(
+    pairs_ds, corpus_ds, id_col, text_col, prepare, accept, accept_many=None
+):
     """Distributed pair verification (no driver text fetch) — the path for
     pair counts too large to broadcast, so every step is PARTITION-wise
     vectorized (P Python calls, never one per doc or per pair):
@@ -460,12 +462,29 @@ def _attach_texts_and_verify(pairs_ds, corpus_ds, id_col, text_col, prepare, acc
             & (ka[:-1] == ka[1:])
             & (kb[:-1] == kb[1:])
         )
+        # rows are sorted by (_ka, _kb), so equal-left-doc pairs are
+        # contiguous: prepare each left doc once per run and, when the
+        # caller supplies accept_many, evaluate the run in one numpy
+        # kernel (same batching as _broadcast_verify)
         out_a, out_b = [], []
-        for i in both:
-            if accept(_sketch(pid[i], txt[i]), _sketch(pid[i + 1], txt[i + 1])):
-                # ids come from the typed _pid column
-                out_a.append(pid[i])
-                out_b.append(pid[i + 1])
+        i, nb = 0, len(both)
+        while i < nb:
+            j = i
+            a0 = ka[both[i]]
+            while j < nb and ka[both[j]] == a0:
+                j += 1
+            idxs = both[i:j]
+            sa = _sketch(pid[idxs[0]], txt[idxs[0]])
+            if accept_many is not None:
+                oks = accept_many(sa, [_sketch(pid[t + 1], txt[t + 1]) for t in idxs])
+            else:
+                oks = [accept(sa, _sketch(pid[t + 1], txt[t + 1])) for t in idxs]
+            for t, ok in zip(idxs, oks):
+                if ok:
+                    # ids come from the typed _pid column
+                    out_a.append(pid[t])
+                    out_b.append(pid[t + 1])
+            i = j
         dtype = part["_pid"].dtype
         return pd.DataFrame(
             {
@@ -606,7 +625,9 @@ def _near_dedup_lsh(
             pairs, ds, id_col, text_col, prepare, accept, accept_many
         )
     else:
-        verified = _attach_texts_and_verify(pairs, ds, id_col, text_col, prepare, accept)
+        verified = _attach_texts_and_verify(
+            pairs, ds, id_col, text_col, prepare, accept, accept_many
+        )
     return _resolve_and_filter(ds, verified, id_col, broadcast_resolve_limit)
 
 
