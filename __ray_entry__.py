@@ -129,6 +129,20 @@ def _q_decontaminate_bloom(sf_dir: str):
     )
 
 
+def _q_rebalance_mixture(sf_dir: str):
+    """Domain-mixture reweighting over documents: target 60/20/20
+    en/de/fr, zh/es dropped (a mixture defines its domains); integer
+    keep-rate math + stable md5 bucket, exact in SQL."""
+    import ray.data
+
+    from scoobie_ray.ops.curation import rebalance_mixture
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return rebalance_mixture(ds, {"en": 6000, "de": 2000, "fr": 2000})
+
+
 def _q_sample_stratified(sf_dir: str):
     """Deterministic per-language sampling: keep 60% of en, 30% of es,
     10% of everything else, chosen by md5_number_upper(doc_id)."""
@@ -1026,6 +1040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_distinct": _q_vocab_distinct,
         "np_chunks": _q_np_chunks,
         "kg_rated_rank": _q_kg_rated_rank,
+        "rebalance_mixture": _q_rebalance_mixture,  # new r4 — keep in the driver's 50-query window
         "kg_rated": _q_kg_rated,
         # --- KG-construction pipeline (SURVEY.md §2.1/§2.3/§2.4) ---
         "kg_spot": views.kg_spot,

@@ -372,6 +372,75 @@ def sample_stratified(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def rebalance_mixture(
+    ds,
+    weights_bp: dict[str, int],
+    key_col: str = "doc_id",
+    stratum_col: str = "lang",
+):
+    """Resample a corpus toward a TARGET DOMAIN MIXTURE (pre-training
+    domain reweighting): given target weights in basis points
+    (``sum == 10000``), compute the per-domain keep rate that realizes the
+    largest output obeying those proportions without upsampling, then keep
+    rows by the same stable md5 bucket as :func:`sample_stratified`
+    (deterministic across re-runs/retries/partitionings; exact-integer
+    math so the DuckDB oracle reproduces it bit-for-bit).
+
+    Two passes, both scale-shaped: (1) per-domain counts — a per-batch
+    combiner then one tiny ``groupby(stratum).sum`` (k rows to the
+    driver); (2) one streaming filter.  Domains absent from
+    ``weights_bp`` are dropped (a mixture DEFINES the output domains).
+
+    Math (all integer, Python ints — int64 guard wrap was an r3 bug
+    class): ``cap = min_d(C_d * 10000 // w_d)`` is the largest feasible
+    output size under the target proportions; the per-domain keep rate in
+    basis points is ``r_d = min(10000, cap * w_d // C_d)``, and a row
+    survives iff ``md5(key) % 10000 < r_d`` — so expected kept mass per
+    domain is ``C_d * r_d / 10000 ≈ cap * w_d / 10000``, i.e.
+    proportional to the target weights.  The oracle mirrors the exact
+    integer expressions."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        g = batch.select([stratum_col]).group_by(stratum_col).aggregate(
+            [(stratum_col, "count")]
+        )
+        return g.rename_columns([stratum_col, "n"])
+
+    counts_df = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(stratum_col)
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # k domains — tiny
+    )
+    counts = dict(zip(counts_df[stratum_col], counts_df["n"].astype(int)))
+    present = {d: int(w) for d, w in weights_bp.items() if counts.get(d) and w > 0}
+    if not present:
+        return ds.filter(lambda row: False)
+    # largest feasible output size under the target proportions (Python
+    # ints — numpy int64 guards wrap, r3 lesson)
+    cap = min(counts[d] * 10000 // w for d, w in present.items())
+    # keep rate in bp: kept_d = cap * w_d / 10000 docs of C_d available
+    # → r_d = 10000 * (cap * w_d / 10000) / C_d = cap * w_d // C_d
+    rates = {d: min(10000, cap * w // counts[d]) for d, w in present.items()}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bucket = np.fromiter(
+            (stable_bucket_u64(str(k)) % 10000 for k in batch[key_col].to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        rate = np.fromiter(
+            (rates.get(s, 0) for s in batch[stratum_col].to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        out = batch.append_column("bucket", pa.array(bucket, pa.int64()))
+        return out.filter(pa.array(bucket < rate))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # sequence packing (distributed prefix sum)
 # ---------------------------------------------------------------------------

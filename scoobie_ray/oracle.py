@@ -1127,6 +1127,31 @@ WHERE md5_number_upper(doc_id::VARCHAR) % 100 <
       CASE lang WHEN 'en' THEN 60 WHEN 'es' THEN 30 ELSE 10 END
 """
 
+# rebalance_mixture: target-domain-mixture resampling (ops/curation.
+# rebalance_mixture) — per-domain counts, largest feasible output size
+# cap = min(C_d * 10000 // w_d), keep rate r_d = min(10000,
+# cap * w_d // C_d), survive iff md5 % 10000 < r_d.  All
+# integer; weights mirror the engine wrapper (en 6000 / de 2000 /
+# fr 2000; zh/es dropped — a mixture defines its domains).
+ORACLES["rebalance_mixture"] = r"""
+WITH w AS (
+  SELECT * FROM (VALUES ('en', 6000), ('de', 2000), ('fr', 2000)) t(lang, w_bp)
+),
+c AS (
+  SELECT d.lang, count(*) AS n FROM documents d JOIN w USING (lang)
+  GROUP BY d.lang
+),
+cap AS (SELECT min(c.n * 10000 // w.w_bp) AS cap FROM c JOIN w USING (lang)),
+r AS (
+  SELECT c.lang, least(10000, cap.cap * w.w_bp // c.n) AS r_bp
+  FROM c JOIN w USING (lang) CROSS JOIN cap
+)
+SELECT d.doc_id, d.lang,
+       CAST(md5_number_upper(d.doc_id::VARCHAR) % 10000 AS BIGINT) AS bucket
+FROM documents d JOIN r USING (lang)
+WHERE md5_number_upper(d.doc_id::VARCHAR) % 10000 < r.r_bp
+"""
+
 # pack_sequences: global prefix sum of whitespace token counts in doc_id
 # order, budget 256 (engine: ops/curation.pack_sequences distributed
 # prefix-sum; a doc may straddle sequences — causal-LM packing).
