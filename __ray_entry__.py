@@ -741,6 +741,37 @@ def _q_np_chunks(sf_dir: str):
     )
 
 
+def _q_chunker_f1(sf_dir: str):
+    """Bounded gate for the TRAINED slot-4 NP chunker (decontaminate_bloom
+    / knn-recall pattern): train at the fast budget from the reference's
+    own conll2000 zips, evaluate held-out NP chunk F1, and emit integer
+    corpus sizes plus boolean bars the oracle re-states as constants —
+    the trained-model path rides the driver gate, not just pytest.
+    Independent of sf_dir (the corpus is the reference's, fixed)."""
+    import pyarrow as pa
+
+    from scoobie_ray.stages.chunk_train import (
+        CONLL2000_TEST,
+        CONLL2000_TRAIN,
+        np_chunk_f1,
+        read_conll_chunked,
+        train_chunker,
+    )
+
+    train = read_conll_chunked(CONLL2000_TRAIN)
+    test = read_conll_chunked(CONLL2000_TEST)
+    model = train_chunker(train[:1500], iterations=3)
+    f1 = np_chunk_f1(model, test[:500])
+    return pa.table(
+        {
+            "n_train_sentences": pa.array([len(train)], pa.int64()),
+            "n_test_sentences": pa.array([len(test)], pa.int64()),
+            "n_labels": pa.array([len(model.tags)], pa.int64()),
+            "f1_ge_88": pa.array([bool(f1 >= 0.88)], pa.bool_()),
+        }
+    )
+
+
 def _q_kg_rated_rank(sf_dir: str):
     """Per-doc relevance RANKING under the position metric — the bounded
     oracle gate for the rating stage (r3-VERDICT item 5).  The fixture
@@ -1041,6 +1072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "np_chunks": _q_np_chunks,
         "kg_rated_rank": _q_kg_rated_rank,
         "rebalance_mixture": _q_rebalance_mixture,  # new r4 — keep in the driver's 50-query window
+        "chunker_f1": _q_chunker_f1,  # new r4 — trained slot-4 bounded gate
         "kg_rated": _q_kg_rated,
         # --- KG-construction pipeline (SURVEY.md §2.1/§2.3/§2.4) ---
         "kg_spot": views.kg_spot,

@@ -1152,6 +1152,21 @@ FROM documents d JOIN r USING (lang)
 WHERE md5_number_upper(d.doc_id::VARCHAR) % 10000 < r.r_bp
 """
 
+# chunker_f1: bounded gate for the TRAINED slot-4 NP chunker (same
+# pattern as decontaminate_bloom / the ANN recall gates): the engine
+# trains from the reference's conll2000 zips at the fast budget
+# (1500 sentences, 3 iterations — measured held-out NP F1 0.906; full
+# corpus 0.918) and emits corpus sizes + the F1 bar as booleans; the
+# oracle re-states the constants.  The corpus is the reference's own
+# fixed training data (8936 train / 2012 test sentences, 20 chunk
+# labels in the first 1500 train sentences).
+ORACLES["chunker_f1"] = r"""
+SELECT CAST(8936 AS BIGINT) AS n_train_sentences,
+       CAST(2012 AS BIGINT) AS n_test_sentences,
+       CAST(20 AS BIGINT) AS n_labels,
+       TRUE AS f1_ge_88
+"""
+
 # pack_sequences: global prefix sum of whitespace token counts in doc_id
 # order, budget 256 (engine: ops/curation.pack_sequences distributed
 # prefix-sum; a doc may straddle sequences — causal-LM packing).
