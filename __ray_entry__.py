@@ -1098,13 +1098,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kb_property_kinds": views.kb_property_kinds,
         "kb_regex_dist": views.kb_regex_dist,
         "kb_cardinalities": views.kb_cardinalities,
+        # --- training-data ops (the three r4-CHANGED dedup queries sit
+        # inside the driver's 50-query window; kb_markov / kb_parse_* —
+        # r3-green and untouched — moved past it to make room) ---
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
         "kb_markov": views.kb_markov,
         "kb_parse_turtle": _q_kb_parse_turtle,
         "kb_parse_rdfxml": _q_kb_parse_rdfxml,
-        # --- training-data ops ---
         "dedup_exact": _q_dedup_exact,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram": _q_dedup_ngram,
         "fingerprint": _q_fingerprint,
         "text_stats": _q_text_stats,
@@ -1115,7 +1118,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "knn_lsh_recall": _q_knn_lsh_recall,
         "knn_ivf_recall": _q_knn_ivf_recall,
-        "dedup_embedding": _q_dedup_embedding,
         "curate": _q_curate,
         "decontaminate": _q_decontaminate,
         "decontaminate_bloom": _q_decontaminate_bloom,
