@@ -76,27 +76,29 @@ def quality_flags_batch(batch: pa.Table) -> pa.Table:
     (the float ``quality`` score in TextStats is the fused engine-side
     variant): n_nonspace, n_tokens, avg token length in centichars
     (integer math), and the pass/fail flags the score is built from."""
-    texts = batch["text"].to_pylist()
-    n_nonspace, n_tokens, avg_c, len_ok, punct_ok = [], [], [], [], []
-    for t in texts:
-        t = t or ""
-        toks = _TOKEN_RE.findall(t)
-        ns = sum(len(w) for w in toks)
-        nt = len(toks)
-        punct = len(_PUNCT_RE.findall(t))
-        n_nonspace.append(ns)
-        n_tokens.append(nt)
-        avg_c.append((ns * 100) // nt if nt else 0)
-        len_ok.append(nt >= 5)
-        punct_ok.append(punct * 2 <= max(1, nt))
+    # vectorized (r4): Arrow regex-count kernels over the compacted column
+    # (utf8 kernels misbehave on raw object-store buffers — see
+    # util.compact_strings); n_nonspace = total chars − whitespace chars
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..util import compact_strings
+
+    col = pc.fill_null(compact_strings(batch["text"]), "")
+    nt = pc.count_substring_regex(col, r"\S+").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_ws = pc.count_substring_regex(col, r"\s").to_numpy(zero_copy_only=False).astype(np.int64)
+    total = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    punct = pc.count_substring_regex(col, r"[.!?,;:]").to_numpy(zero_copy_only=False).astype(np.int64)
+    ns = total - n_ws
+    avg_c = np.where(nt > 0, ns * 100 // np.maximum(nt, 1), 0)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "n_nonspace": pa.array(n_nonspace, pa.int64()),
-            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_nonspace": pa.array(ns, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
             "avg_token_centichars": pa.array(avg_c, pa.int64()),
-            "len_ok": pa.array(len_ok, pa.bool_()),
-            "punct_ok": pa.array(punct_ok, pa.bool_()),
+            "len_ok": pa.array(nt >= 5),
+            "punct_ok": pa.array(punct * 2 <= np.maximum(nt, 1)),
         }
     )
 
