@@ -40,34 +40,30 @@ class TextStats:
     """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        n_chars, n_tokens, n_bpe, n_punct, quality = [], [], [], [], []
-        for t in texts:
-            t = t or ""
-            toks = _TOKEN_RE.findall(t)
-            bpe = _BPE_RE.findall(t)
-            punct = len(_PUNCT_RE.findall(t))
-            n_chars.append(len(t))
-            n_tokens.append(len(toks))
-            n_bpe.append(len(bpe))
-            n_punct.append(punct)
-            # quality heuristics: average token length in sane range,
-            # punctuation not dominating, text not tiny
-            avg_len = (sum(len(w) for w in toks) / len(toks)) if toks else 0.0
-            q = 1.0
-            if not 2.0 <= avg_len <= 12.0:
-                q *= 0.5
-            if len(toks) < 5:
-                q *= 0.5
-            if punct > max(1, len(toks)) * 0.5:
-                q *= 0.5
-            quality.append(q)
+        # vectorized (r4): Arrow regex-count kernels over the compacted
+        # column (utf8 kernels misbehave on raw object-store buffers —
+        # see util.compact_strings)
+        from ..util import compact_strings
+
+        col = pc.fill_null(compact_strings(batch["text"]), "")
+        total = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = pc.count_substring_regex(col, r"\S+").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_ws = pc.count_substring_regex(col, r"\s").to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = pc.count_substring_regex(col, _BPE_RE.pattern).to_numpy(zero_copy_only=False).astype(np.int64)
+        punct = pc.count_substring_regex(col, _PUNCT_RE.pattern).to_numpy(zero_copy_only=False).astype(np.int64)
+        # quality heuristics: average token length in sane range,
+        # punctuation not dominating, text not tiny
+        avg_len = np.where(nt > 0, (total - n_ws) / np.maximum(nt, 1), 0.0)
+        q = np.ones(len(nt))
+        q[(avg_len < 2.0) | (avg_len > 12.0)] *= 0.5
+        q[nt < 5] *= 0.5
+        q[punct > np.maximum(nt, 1) * 0.5] *= 0.5
         return (
-            batch.append_column("n_chars", pa.array(n_chars, pa.int64()))
-            .append_column("n_tokens", pa.array(n_tokens, pa.int64()))
-            .append_column("n_bpe", pa.array(n_bpe, pa.int64()))
-            .append_column("n_punct", pa.array(n_punct, pa.int64()))
-            .append_column("quality", pa.array(quality, pa.float64()))
+            batch.append_column("n_chars", pa.array(total, pa.int64()))
+            .append_column("n_tokens", pa.array(nt, pa.int64()))
+            .append_column("n_bpe", pa.array(nb, pa.int64()))
+            .append_column("n_punct", pa.array(punct, pa.int64()))
+            .append_column("quality", pa.array(q, pa.float64()))
         )
 
 
