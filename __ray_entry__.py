@@ -143,6 +143,19 @@ def _q_rebalance_mixture(sf_dir: str):
     return rebalance_mixture(ds, {"en": 6000, "de": 2000, "fr": 2000})
 
 
+def _q_cross_doc_grams(sf_dir: str):
+    """Cross-document duplicated 8-gram statistics over documents
+    (substring-dedup measurement; broadcast regime at this scale)."""
+    import ray.data
+
+    from scoobie_ray.ops.curation import cross_doc_grams
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return cross_doc_grams(ds, n=8)
+
+
 def _q_sample_stratified(sf_dir: str):
     """Deterministic per-language sampling: keep 60% of en, 30% of es,
     10% of everything else, chosen by md5_number_upper(doc_id)."""
@@ -1073,6 +1086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rated_rank": _q_kg_rated_rank,
         "rebalance_mixture": _q_rebalance_mixture,  # new r4 — keep in the driver's 50-query window
         "chunker_f1": _q_chunker_f1,  # new r4 — trained slot-4 bounded gate
+        "cross_doc_grams": _q_cross_doc_grams,  # new r4 — substring-dedup stats
         "kg_rated": _q_kg_rated,
         # --- KG-construction pipeline (SURVEY.md §2.1/§2.3/§2.4) ---
         "kg_spot": views.kg_spot,

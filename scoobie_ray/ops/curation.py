@@ -372,6 +372,199 @@ def sample_stratified(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def cross_doc_grams(
+    ds,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_limit: int = 2_000_000,
+):
+    """Cross-document duplicated-n-gram statistics — the measurement half
+    of substring-level dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): for every doc, how many of its n-token
+    windows carry a gram that also appears in ≥ 1 OTHER doc.
+
+    Scale shape: pass 1 emits per-batch DISTINCT (gram_hash, doc_part)
+    pairs (dictionary-encoded tokenization + rolling uint64 gram chain —
+    the decontaminate machinery) and ONE ``groupby(gram).count`` finds
+    grams with document frequency ≥ 2.  Pass 2 counts each doc's window
+    membership against that dup-gram set: broadcast sorted-array
+    searchsorted when the set is ≤ ``broadcast_limit`` (one streaming
+    pass), else a hash-partitioned semi-join of the window stream against
+    the co-partitioned dup set (the dup-gram set of a 100-TB corpus is
+    NOT a small side).  Output: (doc_id, n_grams, n_dup_windows) —
+    integer-exact, oracle-gated.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from scoobie_ray.ops.dedup import _shuffle_parallelism
+
+    P = _shuffle_parallelism()
+
+    def batch_pairs(batch: pa.Table) -> pa.Table:
+        """Per-batch distinct (gram hash, doc key) pairs (combiner)."""
+        codes, _, counts, uniq = _flat_token_codes(batch[text_col])
+        flat_h = _unique_token_hashes(uniq)[codes]
+        g, gram_doc, _m = _window_gram_hashes(flat_h, counts, n)
+        # distinct (gram, doc) within the batch == globally distinct
+        # (each doc row lives in exactly one batch); the batch-local doc
+        # index is a sufficient doc key here
+        key = g ^ _splitmix64(gram_doc.astype(np.uint64) + np.uint64(1))
+        uniq_mask = np.unique(key, return_index=True)[1]
+        return pa.table(
+            {
+                # int64 REINTERPRETATION of the uint64 hash: Ray's
+                # groupby key path overflows on uint64 > 2^63 (pickled-
+                # object fallback); the bit pattern is what matters
+                "g": pa.array(g[uniq_mask].view(np.int64), pa.int64()),
+                "_one": pa.array(np.ones(len(uniq_mask), dtype=np.int64)),
+            }
+        )
+
+    # document frequency per gram (per-batch distinct ⇒ count == DF as
+    # long as a doc's windows land in one batch — doc rows are atomic)
+    df = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(batch_pairs, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("_one", alias_name="df"))
+    )
+    dup = df.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["df"], 2)).select(["g"]),
+        batch_format="pyarrow",
+    ).materialize()
+    n_dup = dup.count()
+
+    if n_dup <= broadcast_limit:
+        hashes = np.sort(
+            np.concatenate(
+                [b["g"].to_numpy(zero_copy_only=False) for b in dup.iter_batches(batch_format="pyarrow")]
+            ).astype(np.int64)
+        ) if n_dup else np.zeros(0, dtype=np.int64)
+        dup_ref = ray.put(hashes)
+
+        def count_members(batch: pa.Table) -> pa.Table:
+            dup_h = ray.get(dup_ref)
+            codes, _, counts, uniq = _flat_token_codes(batch[text_col])
+            flat_h = _unique_token_hashes(uniq)[codes]
+            g, gram_doc, m = _window_gram_hashes(flat_h, counts, n)
+            if len(g) and len(dup_h):
+                pos = np.searchsorted(dup_h, g.view(np.int64))
+                hit = dup_h[np.minimum(pos, len(dup_h) - 1)] == g.view(np.int64)
+                dup_per_doc = np.bincount(gram_doc[hit], minlength=batch.num_rows)
+            else:
+                dup_per_doc = np.zeros(batch.num_rows, dtype=np.int64)
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "n_grams": pa.array(m, pa.int64()),
+                    "n_dup_windows": pa.array(
+                        dup_per_doc.astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return ds.select_columns([id_col, text_col]).map_batches(
+            count_members, batch_format="pyarrow"
+        )
+
+    # distributed regime: window stream and dup set co-partitioned on the
+    # gram hash; per-partition vectorized membership, then one per-doc sum.
+    # Row sides: 0 = window, 1 = dup-gram, 2 = per-doc n_grams carrier
+    # (partition -1, passed through untouched).
+    sch = ds.schema()  # ray Schema wrapper: parallel .names / .types lists
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+
+    def window_rows(batch: pa.Table) -> pa.Table:
+        codes, _, counts, uniq = _flat_token_codes(batch[text_col])
+        flat_h = _unique_token_hashes(uniq)[codes]
+        g, gram_doc, m = _window_gram_hashes(flat_h, counts, n)
+        ids = batch[id_col].combine_chunks() if isinstance(batch[id_col], pa.ChunkedArray) else batch[id_col]
+        w = pa.table(
+            {
+                id_col: ids.take(pa.array(gram_doc)),
+                "g": pa.array(g.view(np.int64), pa.int64()),
+                "_part": pa.array((_splitmix64(g) % np.uint64(P)).astype(np.int64)),
+                "_side": pa.array(np.zeros(len(g), dtype=np.int8)),
+                "n_grams": pa.array(np.zeros(len(g), dtype=np.int64)),
+            }
+        )
+        base = pa.table(
+            {
+                id_col: ids,
+                "g": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+                "_part": pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
+                "_side": pa.array(np.full(batch.num_rows, 2, dtype=np.int8)),
+                "n_grams": pa.array(m, pa.int64()),
+            }
+        )
+        return pa.concat_tables([w, base])
+
+    def tag_dup(batch: pa.Table) -> pa.Table:
+        g = batch["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array([None] * len(g), id_type),
+                "g": pa.array(g, pa.int64()),
+                "_part": pa.array((_splitmix64(g.view(np.uint64)) % np.uint64(P)).astype(np.int64)),
+                "_side": pa.array(np.ones(len(g), dtype=np.int8)),
+                "n_grams": pa.array(np.zeros(len(g), dtype=np.int64)),
+            }
+        )
+
+    def part_counts(part):
+        import pandas as pd
+
+        if not len(part):
+            e = part[id_col].iloc[:0]
+            return pd.DataFrame({id_col: e, "n_grams": e, "n_dup_windows": e})
+        if int(part["_part"].iloc[0]) == -1:
+            base = part[part["_side"] == 2]
+            return pd.DataFrame(
+                {
+                    id_col: base[id_col].to_numpy(),
+                    "n_grams": base["n_grams"].to_numpy(),
+                    "n_dup_windows": np.zeros(len(base), dtype=np.int64),
+                }
+            )
+        dup_h = np.sort(part.loc[part["_side"] == 1, "g"].to_numpy(dtype=np.int64))
+        wins = part[part["_side"] == 0]
+        if not len(wins) or not len(dup_h):
+            e = wins[id_col].iloc[:0]
+            return pd.DataFrame({id_col: e, "n_grams": e, "n_dup_windows": e})
+        g = wins["g"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(dup_h, g)
+        hit = dup_h[np.minimum(pos, len(dup_h) - 1)] == g
+        hits = wins.loc[hit]
+        out = hits.groupby(id_col, sort=False).size().reset_index(name="n_dup_windows")
+        out["n_grams"] = np.zeros(len(out), dtype=np.int64)
+        return out[[id_col, "n_grams", "n_dup_windows"]]
+
+    merged = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(window_rows, batch_format="pyarrow")
+        .union(dup.map_batches(tag_dup, batch_format="pyarrow"))
+        .groupby("_part")
+        .map_groups(part_counts, batch_format="pandas")
+    )
+    return (
+        merged.groupby(id_col)
+        .aggregate(Sum("n_grams", alias_name="n_grams"), Sum("n_dup_windows", alias_name="n_dup_windows"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: t[id_col],
+                    "n_grams": pc.cast(t["n_grams"], pa.int64()),
+                    "n_dup_windows": pc.cast(t["n_dup_windows"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def rebalance_mixture(
     ds,
     weights_bp: dict[str, int],

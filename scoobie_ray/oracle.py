@@ -1152,6 +1152,35 @@ FROM documents d JOIN r USING (lang)
 WHERE md5_number_upper(d.doc_id::VARCHAR) % 10000 < r.r_bp
 """
 
+# cross_doc_grams: substring-dedup measurement (ops/curation.
+# cross_doc_grams) — per doc, the number of 8-token windows whose gram
+# occurs in >= 2 distinct docs.  Same gram CTE as decontaminate (512-token
+# cap is the established fixture bound); engine-side hashing is injective
+# up to the documented 2^-64 collision tolerance.
+ORACLES["cross_doc_grams"] = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+ix AS (SELECT i FROM generate_series(1, 512) t(i)),
+g AS (
+  SELECT d.doc_id, array_to_string(d.w[ix.i:ix.i+7], ' ') AS gram
+  FROM d JOIN ix ON ix.i <= len(d.w) - 7
+),
+dup AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram
+  ) WHERE df >= 2
+),
+hits AS (
+  SELECT g.doc_id, count(*) AS n FROM g JOIN dup USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(greatest(len(d.w) - 7, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_dup_windows
+FROM d LEFT JOIN hits h USING (doc_id)
+"""
+
 # chunker_f1: bounded gate for the TRAINED slot-4 NP chunker (same
 # pattern as decontaminate_bloom / the ANN recall gates): the engine
 # trains from the reference's conll2000 zips at the fast budget

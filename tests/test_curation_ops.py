@@ -369,3 +369,35 @@ def test_rebalance_mixture_empty_and_missing_domains(ray_session):
     )
     out = rebalance_mixture(ds, {"xx": 10000}).to_pandas()
     assert len(out) == 0
+
+
+def test_cross_doc_grams_distributed_matches_broadcast(ray_session):
+    """The hash-partitioned semi-join regime (forced with
+    broadcast_limit=0) returns the identical per-doc dup-window counts as
+    the broadcast searchsorted regime."""
+    import ray.data
+
+    from scoobie_ray.ops.curation import cross_doc_grams
+
+    def load():
+        return ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+        )
+
+    a = (
+        cross_doc_grams(load(), n=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        cross_doc_grams(load(), n=8, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) == 500
+    assert (a["doc_id"] == b["doc_id"]).all()
+    assert (a["n_grams"] == b["n_grams"]).all()
+    assert (a["n_dup_windows"] == b["n_dup_windows"]).all()
+    assert a["n_dup_windows"].sum() > 0  # the corpus DOES contain dups
