@@ -1111,13 +1111,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kb_docfreq": views.kb_docfreq,
         "kb_property_kinds": views.kb_property_kinds,
         "kb_regex_dist": views.kb_regex_dist,
-        "kb_cardinalities": views.kb_cardinalities,
         # --- training-data ops (the three r4-CHANGED dedup queries sit
         # inside the driver's 50-query window; kb_markov / kb_parse_* —
         # r3-green and untouched — moved past it to make room) ---
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
+        "kb_cardinalities": views.kb_cardinalities,
         "kb_markov": views.kb_markov,
         "kb_parse_turtle": _q_kb_parse_turtle,
         "kb_parse_rdfxml": _q_kb_parse_rdfxml,
