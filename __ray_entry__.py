@@ -143,6 +143,16 @@ def _q_rebalance_mixture(sf_dir: str):
     return rebalance_mixture(ds, {"en": 6000, "de": 2000, "fr": 2000})
 
 
+def _q_shuffle_rank(sf_dir: str):
+    """Deterministic global shuffle order over documents (md5 rank)."""
+    import ray.data
+
+    from scoobie_ray.ops.curation import global_shuffle_rank
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return global_shuffle_rank(ds)
+
+
 def _q_cross_doc_grams(sf_dir: str):
     """Cross-document duplicated 8-gram statistics over documents
     (substring-dedup measurement; broadcast regime at this scale)."""
@@ -1087,6 +1097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rebalance_mixture": _q_rebalance_mixture,  # new r4 — keep in the driver's 50-query window
         "chunker_f1": _q_chunker_f1,  # new r4 — trained slot-4 bounded gate
         "cross_doc_grams": _q_cross_doc_grams,  # new r4 — substring-dedup stats
+        "shuffle_rank": _q_shuffle_rank,  # new r4 — deterministic training order
         "kg_rated": _q_kg_rated,
         # --- KG-construction pipeline (SURVEY.md §2.1/§2.3/§2.4) ---
         "kg_spot": views.kg_spot,
@@ -1110,13 +1121,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kb_coverage": views.kb_coverage,
         "kb_docfreq": views.kb_docfreq,
         "kb_property_kinds": views.kb_property_kinds,
-        "kb_regex_dist": views.kb_regex_dist,
         # --- training-data ops (the three r4-CHANGED dedup queries sit
         # inside the driver's 50-query window; kb_markov / kb_parse_* —
         # r3-green and untouched — moved past it to make room) ---
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
+        "kb_regex_dist": views.kb_regex_dist,
         "kb_cardinalities": views.kb_cardinalities,
         "kb_markov": views.kb_markov,
         "kb_parse_turtle": _q_kb_parse_turtle,

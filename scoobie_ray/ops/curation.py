@@ -372,6 +372,81 @@ def sample_stratified(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def global_shuffle_rank(ds, key_col: str = "doc_id", n_part_bits: int = 6):
+    """Deterministic global training-order shuffle: assign every row its
+    rank under ``md5(key)`` ordering (``shuffle_pos`` 0..N-1) — the
+    reproducible-across-reruns/retries/partitionings alternative to
+    ``Dataset.random_shuffle`` for fixing a training data order.
+
+    Scale shape (the pack_sequences prefix-sum pattern): the md5 hash is
+    RANGE-partitioned on its high ``n_part_bits`` bits, so ranks are
+    partition-contiguous; per-partition counts (2^bits rows) come to the
+    driver for the exclusive prefix, and each partition sorts ONCE by
+    (hash, key) and adds its offset.  One shuffle; the corpus text never
+    moves (select the key column only and join positions back, or run on
+    (key, payload) rows directly when the payload should ride along).
+
+    Output: (key_col, shuffle_pos:int64).  Exact SQL mirror:
+    ``row_number() OVER (ORDER BY md5_number_upper(key), key) - 1``.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    P = 1 << n_part_bits
+    shift = np.uint64(64 - n_part_bits)
+
+    def hash_part(batch: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (stable_bucket_u64(str(k)) for k in batch[key_col].to_pylist()),
+            dtype=np.uint64,
+            count=batch.num_rows,
+        )
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "h": pa.array(h.view(np.int64), pa.int64()),
+                "_part": pa.array((h >> shift).astype(np.int64)),
+            }
+        )
+
+    hashed = ds.select_columns([key_col]).map_batches(
+        hash_part, batch_format="pyarrow"
+    ).materialize()
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        parts = batch["_part"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(parts, return_counts=True)
+        return pa.table(
+            {"_part": pa.array(uniq, pa.int64()), "n": pa.array(cnt, pa.int64())}
+        )
+
+    totals = (
+        hashed.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("_part")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ 2^n_part_bits rows
+        .sort_values("_part")
+    )
+    per_part = np.zeros(P, dtype=np.int64)
+    per_part[totals["_part"].to_numpy()] = totals["n"].to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(per_part)[:-1]))
+    offset_map = {int(p): int(o) for p, o in enumerate(offsets)}
+
+    def rank_part(part: pd.DataFrame) -> pd.DataFrame:
+        # rank by UNSIGNED hash, tie-break on the key itself
+        g = part.assign(_hu=part["h"].to_numpy(dtype=np.int64).view(np.uint64))
+        g = g.sort_values(["_hu", key_col], kind="mergesort")
+        base = offset_map[int(g["_part"].iloc[0])]
+        return pd.DataFrame(
+            {
+                key_col: g[key_col].to_numpy(),
+                "shuffle_pos": base + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return hashed.groupby("_part").map_groups(rank_part, batch_format="pandas")
+
+
 def cross_doc_grams(
     ds,
     n: int = 8,

@@ -1152,6 +1152,17 @@ FROM documents d JOIN r USING (lang)
 WHERE md5_number_upper(d.doc_id::VARCHAR) % 10000 < r.r_bp
 """
 
+# shuffle_rank: deterministic global shuffle order (ops/curation.
+# global_shuffle_rank) — rank under unsigned md5_number_upper ordering,
+# tie-break on the key (md5 collisions are ~impossible but the tie-break
+# keeps both sides total orders).
+ORACLES["shuffle_rank"] = r"""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY md5_number_upper(doc_id::VARCHAR),
+                               doc_id) - 1 AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
 # cross_doc_grams: substring-dedup measurement (ops/curation.
 # cross_doc_grams) — per doc, the number of 8-token windows whose gram
 # occurs in >= 2 distinct docs.  Same gram CTE as decontaminate (512-token

@@ -401,3 +401,25 @@ def test_cross_doc_grams_distributed_matches_broadcast(ray_session):
     assert (a["n_grams"] == b["n_grams"]).all()
     assert (a["n_dup_windows"] == b["n_dup_windows"]).all()
     assert a["n_dup_windows"].sum() > 0  # the corpus DOES contain dups
+
+
+def test_global_shuffle_rank_is_permutation(ray_session):
+    """shuffle_pos is exactly 0..N-1 (contiguous across hash-range
+    partitions) and deterministic across re-runs."""
+    import numpy as np
+    import ray.data
+
+    from scoobie_ray.ops.curation import global_shuffle_rank
+
+    def load():
+        return ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+        )
+
+    a = global_shuffle_rank(load()).to_pandas().sort_values("doc_id")
+    assert sorted(a["shuffle_pos"]) == list(range(500))
+    b = global_shuffle_rank(load()).to_pandas().sort_values("doc_id")
+    assert (a["shuffle_pos"].to_numpy() == b["shuffle_pos"].to_numpy()).all()
+    # the order is a real shuffle, not identity
+    by_pos = a.sort_values("shuffle_pos")["doc_id"].to_numpy()
+    assert not np.array_equal(by_pos, np.sort(by_pos))
