@@ -153,6 +153,22 @@ def _q_shuffle_rank(sf_dir: str):
     return global_shuffle_rank(ds)
 
 
+def _q_sampled_quantiles(sf_dir: str):
+    """n_chars quantiles over the deterministic bottom-256-md5 sample —
+    the unbounded-cardinality quantile path (mergeable bottom-k sketch;
+    the oracle draws the identical sample)."""
+    import ray.data
+
+    from scoobie_ray.ops.sketch import sampled_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return sampled_quantiles(
+        ds, "doc_id", "n_chars", [0.1, 0.25, 0.5, 0.75, 0.9], k=256
+    )
+
+
 def _q_cross_doc_grams(sf_dir: str):
     """Cross-document duplicated 8-gram statistics over documents
     (substring-dedup measurement; broadcast regime at this scale)."""
@@ -1098,6 +1114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunker_f1": _q_chunker_f1,  # new r4 — trained slot-4 bounded gate
         "cross_doc_grams": _q_cross_doc_grams,  # new r4 — substring-dedup stats
         "shuffle_rank": _q_shuffle_rank,  # new r4 — deterministic training order
+        "sampled_quantiles": _q_sampled_quantiles,  # new r4 — bottom-k sketch
         "kg_rated": _q_kg_rated,
         # --- KG-construction pipeline (SURVEY.md §2.1/§2.3/§2.4) ---
         "kg_spot": views.kg_spot,
@@ -1120,13 +1137,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kb_resources": views.kb_resources,
         "kb_coverage": views.kb_coverage,
         "kb_docfreq": views.kb_docfreq,
-        "kb_property_kinds": views.kb_property_kinds,
         # --- training-data ops (the three r4-CHANGED dedup queries sit
         # inside the driver's 50-query window; kb_markov / kb_parse_* —
         # r3-green and untouched — moved past it to make room) ---
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
+        "kb_property_kinds": views.kb_property_kinds,
         "kb_regex_dist": views.kb_regex_dist,
         "kb_cardinalities": views.kb_cardinalities,
         "kb_markov": views.kb_markov,

@@ -268,3 +268,72 @@ def hll_estimate(sketch) -> float:
 def hll_distinct(ds, col: str = "text", *, tokens: bool = True) -> float:
     """Deterministic HLL distinct estimate over tokens (or raw values)."""
     return hll_estimate(hll_registers_ds(ds, col, tokens=tokens))
+
+
+# ---------------------------------------------------------------------------
+# bottom-k-hash sampled quantiles (unbounded-cardinality columns)
+# ---------------------------------------------------------------------------
+
+
+def bottomk_sample(ds, key_col: str, val_col: str, k: int = 1024):
+    """Deterministic uniform sample: the k rows with the SMALLEST
+    ``md5(key)`` (bottom-k sketch).  Mergeable by construction — the
+    bottom-k of a union is the bottom-k of the per-shard bottom-ks — and
+    content-addressed, so re-runs, retries and the SQL oracle
+    (``ORDER BY md5_number_upper(key) LIMIT k``) pick the exact same
+    rows.  Per-batch combiner keeps ≤ k rows per block; the driver merges
+    ≤ k·P rows.  Returns (sorted hash array, value array) aligned."""
+    import pyarrow as pa
+
+    from ..ops.curation import stable_bucket_u64
+
+    def local(batch: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (stable_bucket_u64(str(x)) for x in batch[key_col].to_pylist()),
+            dtype=np.uint64,
+            count=batch.num_rows,
+        )
+        vals = pc.cast(batch[val_col], pa.int64()).to_numpy(zero_copy_only=False)
+        if len(h) > k:
+            idx = np.argpartition(h, k)[:k]
+            h, vals = h[idx], vals[idx]
+        order = np.argsort(h)
+        return pa.table(
+            {
+                # int64 REINTERPRETATION: uint64 > 2^63 overflows Ray's
+                # Arrow conversion paths (see cross_doc_grams)
+                "h": pa.array(h[order].view(np.int64), pa.int64()),
+                "val": pa.array(vals[order], pa.int64()),
+            }
+        )
+
+    merged = ds.select_columns([key_col, val_col]).map_batches(
+        local, batch_format="pyarrow"
+    ).to_pandas()  # ≤ k rows per input block
+    h = merged["h"].to_numpy(dtype=np.int64).view(np.uint64)
+    vals = merged["val"].to_numpy(dtype=np.int64)
+    order = np.argsort(h, kind="stable")[:k]
+    return h[order], vals[order]
+
+
+def sampled_quantiles(ds, key_col: str, val_col: str, qs: list[float], k: int = 1024):
+    """Discrete quantiles of ``val_col`` over the deterministic bottom-k
+    sample — the UNBOUNDED-cardinality companion to
+    :func:`quantiles_disc` (whose distributed histogram assumes few
+    distinct values).  Sampling error is the classic bottom-k bound
+    (±O(1/√k) rank error); the GATE is nonetheless hash-exact because the
+    oracle draws the identical sample (``ORDER BY md5 LIMIT k``) and
+    applies the identical quantile_disc index rule.
+
+    Returns a pyarrow Table (q_pct int64, val int64)."""
+    _h, vals = bottomk_sample(ds, key_col, val_col, k)
+    vals = np.sort(vals)
+    n = len(vals)
+    out_q, out_v = [], []
+    for q in qs:
+        rank = max(int(np.ceil(q * n - 1e-9)) - 1, 0) if n else 0
+        out_q.append(int(round(q * 100)))
+        out_v.append(int(vals[min(rank, n - 1)]) if n else -1)
+    return pa.table(
+        {"q_pct": pa.array(out_q, pa.int64()), "val": pa.array(out_v, pa.int64())}
+    )

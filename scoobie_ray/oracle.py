@@ -1152,6 +1152,24 @@ FROM documents d JOIN r USING (lang)
 WHERE md5_number_upper(d.doc_id::VARCHAR) % 10000 < r.r_bp
 """
 
+# sampled_quantiles: quantiles over the deterministic bottom-k-md5 sample
+# (ops/sketch.bottomk_sample — the unbounded-cardinality quantile path;
+# mergeable: bottom-k of a union == bottom-k of per-shard bottom-ks).
+# The oracle draws the IDENTICAL sample, so the gate is hash-exact, not
+# an error bound.
+ORACLES["sampled_quantiles"] = r"""
+WITH s AS (
+  SELECT n_chars AS v FROM documents
+  ORDER BY md5_number_upper(doc_id::VARCHAR), doc_id
+  LIMIT 256
+)
+SELECT CAST(10 AS BIGINT) AS q_pct, CAST(quantile_disc(v, 0.10) AS BIGINT) AS val FROM s
+UNION ALL SELECT 25, CAST(quantile_disc(v, 0.25) AS BIGINT) FROM s
+UNION ALL SELECT 50, CAST(quantile_disc(v, 0.50) AS BIGINT) FROM s
+UNION ALL SELECT 75, CAST(quantile_disc(v, 0.75) AS BIGINT) FROM s
+UNION ALL SELECT 90, CAST(quantile_disc(v, 0.90) AS BIGINT) FROM s
+"""
+
 # shuffle_rank: deterministic global shuffle order (ops/curation.
 # global_shuffle_rank) — rank under unsigned md5_number_upper ordering,
 # tie-break on the key (md5 collisions are ~impossible but the tie-break

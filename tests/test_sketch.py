@@ -181,3 +181,35 @@ def test_token_counts_object_store_stress(ray_session):
             map(tuple, token_counts(_docs_ds(texts)).to_pandas().values.tolist())
         )
         assert got == want, got
+
+
+def test_bottomk_sample_merge_equals_global(ray_session):
+    """Bottom-k of per-block bottom-ks == global bottom-k (mergeability),
+    regardless of partitioning; quantiles are deterministic."""
+    import numpy as np
+    import ray.data
+
+    from scoobie_ray.ops.curation import stable_bucket_u64
+    from scoobie_ray.ops.sketch import bottomk_sample, sampled_quantiles
+
+    def load(par):
+        return ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "n_chars"]
+        ).repartition(par)
+
+    h1, v1 = bottomk_sample(load(2), "doc_id", "n_chars", k=64)
+    h2, v2 = bottomk_sample(load(13), "doc_id", "n_chars", k=64)
+    assert np.array_equal(h1, h2) and np.array_equal(v1, v2)
+    # equals the driver-side exact bottom-64 by the same hash
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    h = np.array([stable_bucket_u64(str(x)) for x in t["doc_id"].to_pylist()], dtype=np.uint64)
+    order = np.argsort(h)[:64]
+    assert np.array_equal(h1, h[order])
+    assert np.array_equal(v1, t["n_chars"].to_numpy()[order])
+    qa = sampled_quantiles(load(2), "doc_id", "n_chars", [0.5], k=64)
+    qb = sampled_quantiles(load(13), "doc_id", "n_chars", [0.5], k=64)
+    assert qa.equals(qb)
