@@ -153,6 +153,19 @@ def _q_shuffle_rank(sf_dir: str):
     return global_shuffle_rank(ds)
 
 
+def _q_redact_pii(sf_dir: str):
+    """PII-style redaction over the regex-rich order-derived corpus
+    (emails + ISO dates → sentinels); engine and oracle both run RE2, so
+    the redacted TEXT is compared, not just counts."""
+    import ray.data
+
+    from scoobie_ray.ops.text import redact
+    from scoobie_ray.sources.fixtures import regex_docs_table
+
+    ds = ray.data.from_arrow(regex_docs_table(sf_dir))
+    return redact(ds, text_col="plain_text").select_columns(["doc_id", "redacted"])
+
+
 def _q_sampled_quantiles(sf_dir: str):
     """n_chars quantiles over the deterministic bottom-256-md5 sample —
     the unbounded-cardinality quantile path (mergeable bottom-k sketch;
@@ -1115,6 +1128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_doc_grams": _q_cross_doc_grams,  # new r4 — substring-dedup stats
         "shuffle_rank": _q_shuffle_rank,  # new r4 — deterministic training order
         "sampled_quantiles": _q_sampled_quantiles,  # new r4 — bottom-k sketch
+        "redact_pii": _q_redact_pii,  # new r4 — RE2 redaction, text-exact
         "kg_rated": _q_kg_rated,
         # --- KG-construction pipeline (SURVEY.md §2.1/§2.3/§2.4) ---
         "kg_spot": views.kg_spot,
@@ -1136,13 +1150,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pos_np": _q_doc_pos_np,
         "kb_resources": views.kb_resources,
         "kb_coverage": views.kb_coverage,
-        "kb_docfreq": views.kb_docfreq,
         # --- training-data ops (the three r4-CHANGED dedup queries sit
         # inside the driver's 50-query window; kb_markov / kb_parse_* —
         # r3-green and untouched — moved past it to make room) ---
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
+        "kb_docfreq": views.kb_docfreq,
         "kb_property_kinds": views.kb_property_kinds,
         "kb_regex_dist": views.kb_regex_dist,
         "kb_cardinalities": views.kb_cardinalities,

@@ -167,3 +167,32 @@ def winnow_fingerprint(text: str, window: int = 16, k: int = 8) -> list[int]:
     """k smallest rolling hashes (winnowing sketch) — a compact doc signature."""
     hs = rolling_hashes(text, window)
     return sorted(set(hs))[:k]
+
+
+# ---------------------------------------------------------------------------
+# PII-style redaction
+# ---------------------------------------------------------------------------
+
+REDACT_RULES = (
+    ("MAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("DATE", r"\d{4}-\d{2}-\d{2}", "<DATE>"),
+)
+
+
+def redact(ds, rules=REDACT_RULES, text_col: str = "text", out_col: str = "redacted"):
+    """PII-style text redaction: apply the ordered ``(name, pattern,
+    replacement)`` rules globally per row with Arrow's RE2
+    ``replace_substring_regex`` — the same regex engine DuckDB uses, so
+    the oracle's chained ``regexp_replace(..., 'g')`` is bit-identical
+    (no Python-re vs RE2 semantic gap to paper over).  One vectorized
+    kernel per rule, column compacted first (utf8 kernels misbehave on
+    raw object-store buffers — util.compact_strings)."""
+    from ..util import compact_strings
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(compact_strings(batch[text_col]), "")
+        for _name, pat, repl in rules:
+            col = pc.replace_substring_regex(col, pattern=pat, replacement=repl)
+        return batch.append_column(out_col, col)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

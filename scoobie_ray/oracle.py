@@ -1152,6 +1152,34 @@ FROM documents d JOIN r USING (lang)
 WHERE md5_number_upper(d.doc_id::VARCHAR) % 10000 < r.r_bp
 """
 
+# redact_pii: chained global regexp_replace over the regex fixture corpus
+# (sources/fixtures.regex_docs_table template rebuilt in SQL — the
+# oracle-coupling invariant applies to this CTE too).  Arrow
+# replace_substring_regex and DuckDB regexp_replace are BOTH RE2, so the
+# redacted text matches byte-for-byte; rule order (MAIL then DATE)
+# mirrors ops/text.REDACT_RULES.
+ORACLES["redact_pii"] = r"""
+WITH ro AS (
+  SELECT o_orderkey AS okey, strftime(o_orderdate, '%Y-%m-%d') AS d
+  FROM orders ORDER BY o_orderkey LIMIT 500
+),
+t AS (
+  SELECT 'doc-regex-' || okey::VARCHAR AS doc_id,
+         'Order ' || okey::VARCHAR || ' placed ' || d || ' total ' ||
+         (okey % 1000)::VARCHAR || '.' ||
+         lpad(((okey * 7) % 100)::VARCHAR, 2, '0') ||
+         ' contact c' || okey::VARCHAR || '@tpch.example refs ' ||
+         ((okey * 7) % 10000)::VARCHAR || '.' AS text
+  FROM ro
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\d{4}-\d{2}-\d{2}', '<DATE>', 'g') AS redacted
+FROM t
+"""
+
 # sampled_quantiles: quantiles over the deterministic bottom-k-md5 sample
 # (ops/sketch.bottomk_sample — the unbounded-cardinality quantile path;
 # mergeable: bottom-k of a union == bottom-k of per-shard bottom-ks).
