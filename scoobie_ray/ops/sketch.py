@@ -337,3 +337,124 @@ def sampled_quantiles(ds, key_col: str, val_col: str, qs: list[float], k: int = 
     return pa.table(
         {"q_pct": pa.array(out_q, pa.int64()), "val": pa.array(out_v, pa.int64())}
     )
+
+
+def _row_token_tf(batch: pa.Table, col: str) -> pa.Table:
+    """(row, token, tf) triples for a batch: Arrow split/flatten kernels
+    plus ONE hash group-by — no per-row Python.  Relies on the
+    one-document-per-row layout, so a document's term frequencies are
+    complete within the batch that holds its row."""
+    from ..util import compact_strings
+
+    lists = pc.utf8_split_whitespace(compact_strings(batch[col]))
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    rows = pc.list_parent_indices(lists)
+    toks = pc.list_flatten(lists)
+    keep = pc.not_equal(toks, "")
+    pairs = pa.table({"row": rows.filter(keep), "token": toks.filter(keep)})
+    g = pairs.group_by(["row", "token"]).aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "row": g["row"],
+            "token": g["token"],
+            "tf": pc.cast(g["count_all"], pa.int64()),
+        }
+    )
+
+
+def token_doc_freq(ds, col: str = "text"):
+    """Document frequency per token: Dataset of (token, df).
+
+    Combiner-first like :func:`token_counts`: each batch reduces to its
+    distinct (row, token) pairs and emits per-token partial doc-counts,
+    then ONE ``groupby(token).sum`` shuffle of (token, partial) rows —
+    the corpus text itself never rides the shuffle."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        g = _row_token_tf(batch, col)
+        tok = g["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        vc = tok.value_counts()  # rows are distinct per (row, token)
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "df": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("token")
+        .sum("df")
+        .map_batches(
+            lambda b: b.rename_columns(["token", "df"]), batch_format="pyarrow"
+        )
+    )
+
+
+def tfidf_top(ds, id_col: str = "doc_id", col: str = "text"):
+    """Salient term per document: argmax of tf·idf with idf = N/df, i.e.
+    argmax of the tf/df ratio (N is constant per corpus so it drops out
+    of the argmax).  Ties broken by tf desc then token asc — a total,
+    oracle-reproducible order (the ratio is one IEEE-double division of
+    exact int64s, bit-identical in numpy and DuckDB ``CAST(tf AS
+    DOUBLE) / df``).
+
+    Shape: ONE small shuffle builds the (token, df) table, which is
+    broadcast once via ``ray.put``; scoring is then embarrassingly
+    parallel — per-doc tf is row-local (one document per row), so the
+    corpus text never rides a shuffle.  ASSUMPTION: the vocabulary fits
+    in worker memory (true for word-level vocabularies; the 100-TB
+    fallback is a token-keyed sorted-merge join instead of the
+    broadcast).
+
+    Returns a Dataset of (id_col, token, tf int64, df int64); documents
+    with no tokens emit no row.
+    """
+    df_tbl = token_doc_freq(ds, col).to_pandas()  # vocab-sized
+    df_map = dict(zip(df_tbl["token"].tolist(), df_tbl["df"].tolist()))
+    try:
+        import ray
+
+        df_ref = ray.put(df_map)
+    except Exception:
+        df_ref = None
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = df_map
+        if df_ref is not None:
+            import ray
+
+            m = ray.get(df_ref)  # local object-store hit after 1st batch
+        g = _row_token_tf(batch, col)
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], batch[id_col].type),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        pdf = g.to_pandas()
+        pdf["df"] = pdf["token"].map(m).astype("int64")
+        pdf["ratio"] = pdf["tf"].to_numpy(dtype=np.float64) / pdf[
+            "df"
+        ].to_numpy(dtype=np.float64)
+        pdf = pdf.sort_values(
+            ["row", "ratio", "tf", "token"],
+            ascending=[True, False, False, True],
+        ).drop_duplicates("row")
+        ids = batch[id_col].take(pa.array(pdf["row"].to_numpy()))
+        return pa.table(
+            {
+                id_col: ids,
+                "token": pa.array(pdf["token"].tolist(), pa.string()),
+                "tf": pa.array(pdf["tf"].to_numpy(dtype=np.int64), pa.int64()),
+                "df": pa.array(pdf["df"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

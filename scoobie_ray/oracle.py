@@ -1415,6 +1415,31 @@ ORDER BY n DESC, token ASC
 LIMIT 20
 """
 
+# Salient term per document: argmax of tf/df (≡ tf·idf with idf = N/df —
+# N is constant per corpus so it drops out of the argmax).  The ratio is
+# ONE IEEE-double division of exact int64s, bit-identical between numpy
+# and CAST(tf AS DOUBLE) / df (NOT tf * 1.0 / df, which DuckDB computes
+# in DECIMAL arithmetic); ties broken tf desc, token asc — a total order.
+ORACLES["tfidf_top"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents
+), tok2 AS (
+  SELECT doc_id, token FROM tok WHERE token <> ''
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok2 GROUP BY 1, 2
+), df AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok2 GROUP BY 1
+), ranked AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.tf DESC, tf.token ASC
+         ) AS rn
+  FROM tf JOIN df USING (token)
+)
+SELECT doc_id, token, tf, df FROM ranked WHERE rn = 1
+"""
+
 # quantile_disc returns sorted[floor(q * (n-1))] — the engine's
 # distributed-histogram kernel replicates that index exactly.
 ORACLES["len_quantiles"] = r"""

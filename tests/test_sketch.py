@@ -213,3 +213,51 @@ def test_bottomk_sample_merge_equals_global(ray_session):
     qa = sampled_quantiles(load(2), "doc_id", "n_chars", [0.5], k=64)
     qb = sampled_quantiles(load(13), "doc_id", "n_chars", [0.5], k=64)
     assert qa.equals(qb)
+
+
+def _docs_ids_ds(texts, parallelism=4):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(parallelism)
+
+
+def test_token_doc_freq_hand_computed(ray_session):
+    from scoobie_ray.ops.sketch import token_doc_freq
+
+    texts = ["a b a", "a c", "", "b b", "  "]
+    got = sorted(
+        map(tuple, token_doc_freq(_docs_ids_ds(texts)).to_pandas().values.tolist())
+    )
+    assert got == [("a", 2), ("b", 2), ("c", 1)], got
+
+
+def test_tfidf_top_semantics(ray_session):
+    """argmax tf/df; ties tf desc then token asc; empty docs emit no row;
+    result is partitioning-invariant."""
+    from scoobie_ray.ops.sketch import tfidf_top
+
+    # doc 0: 'a' tf=2 df=3 (ratio 2/3), 'b' tf=1 df=1 (ratio 1) -> b
+    # doc 1: 'a' tf=1 df=3, 'c' tf=1 df=1 -> c
+    # doc 2: only 'a' -> a;  doc 3: empty -> no row
+    # doc 4: 'd' and 'e' both tf=1 df=1 -> token asc -> d
+    texts = ["a a b", "a c", "a", "", "e d"]
+    for par in (1, 3):
+        got = (
+            tfidf_top(_docs_ids_ds(texts, par))
+            .to_pandas()
+            .sort_values("doc_id")
+            .values.tolist()
+        )
+        assert got == [
+            [0, "b", 1, 1],
+            [1, "c", 1, 1],
+            [2, "a", 1, 3],
+            [4, "d", 1, 1],
+        ], got
