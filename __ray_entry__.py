@@ -192,6 +192,15 @@ def _q_tfidf_top(sf_dir: str):
     return tfidf_top(_documents(sf_dir))
 
 
+def _q_top_bigrams(sf_dir: str):
+    """Exact corpus bigram top-20 (adjacent token pairs; shifted-stream
+    Arrow kernel with document-boundary masking, combiner-first
+    shuffle of (bigram, partial-count) rows; deterministic tie-break)."""
+    from scoobie_ray.ops.sketch import top_k_bigrams
+
+    return top_k_bigrams(_documents(sf_dir), 20)
+
+
 def _q_cross_doc_grams(sf_dir: str):
     """Cross-document duplicated 8-gram statistics over documents
     (substring-dedup measurement; broadcast regime at this scale)."""
@@ -1140,6 +1149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_quantiles": _q_sampled_quantiles,  # new r4 — bottom-k sketch
         "redact_pii": _q_redact_pii,  # new r4 — RE2 redaction, text-exact
         "tfidf_top": _q_tfidf_top,  # new r4 — salient term per doc
+        "top_bigrams": _q_top_bigrams,  # new r4 — collocation counts
         "kg_rated": _q_kg_rated,
         # --- KG-construction pipeline (SURVEY.md §2.1/§2.3/§2.4) ---
         "kg_spot": views.kg_spot,
@@ -1152,7 +1162,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": views.kg_triples,
         "kg_spans": views.kg_spans,
         "kg_media": _q_kg_media,
-        "media_decode": _q_media_decode,
         "kg_regex": _q_kg_regex,
         "kg_regex_priority": _q_kg_regex_priority,
         "doc_tokens": _q_doc_tokens,
@@ -1196,7 +1205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_click_window": _q_events_click_window,
         # driver-verified in r3 and unchanged since; parked past the
         # driver's 50-query window to make room for round-new queries
-        # (the local gate replica still checks it every run)
+        # (the local gate replica still checks them every run)
+        "media_decode": _q_media_decode,
         "audio_decode": _q_audio_decode,
     }
 

@@ -458,3 +458,59 @@ def tfidf_top(ds, id_col: str = "doc_id", col: str = "text"):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_counts(ds, col: str = "text"):
+    """Exact corpus bigram (adjacent-token-pair) frequency: Dataset of
+    (bigram, n) with the two tokens space-joined.  Combiner-first like
+    :func:`token_counts`: per batch the token stream is shifted against
+    itself (Arrow slice + ``binary_join_element_wise``), pairs that
+    straddle a document boundary are masked out by the list-parent row
+    ids, and local ``value_counts`` partials ride the ONE
+    ``groupby(bigram).sum`` shuffle — never the corpus text.  Empty
+    tokens appear only at string boundaries (whitespace runs are merged
+    by the split kernel), so dropping them cannot fabricate adjacency."""
+    from ..util import compact_strings
+
+    def local(batch: pa.Table) -> pa.Table:
+        lists = pc.utf8_split_whitespace(compact_strings(batch[col]))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        rows_arr = pc.list_parent_indices(lists)
+        toks = pc.list_flatten(lists)
+        keep = pc.not_equal(toks, "")
+        toks = toks.filter(keep)
+        rows = rows_arr.filter(keep).to_numpy(zero_copy_only=False)
+        out = pa.table(
+            {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+        if len(toks) < 2:
+            return out
+        joined = pc.binary_join_element_wise(
+            toks.slice(0, len(toks) - 1), toks.slice(1), " "
+        )
+        same_doc = pa.array(rows[:-1] == rows[1:])
+        vc = joined.filter(same_doc).value_counts()
+        if len(vc) == 0:
+            return out
+        return pa.table(
+            {
+                "bigram": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("bigram")
+        .sum("n")
+        .map_batches(
+            lambda b: b.rename_columns(["bigram", "n"]), batch_format="pyarrow"
+        )
+    )
+
+
+def top_k_bigrams(ds, k: int, col: str = "text"):
+    """Top-k corpus bigrams, ties broken by bigram asc (deterministic)."""
+    counts = bigram_counts(ds, col)
+    return counts.sort(["n", "bigram"], descending=[True, False]).limit(k)

@@ -1415,6 +1415,25 @@ ORDER BY n DESC, token ASC
 LIMIT 20
 """
 
+# Corpus bigram top-20.  Both sides drop empty tokens before pairing;
+# empties appear only at string boundaries (both split kernels merge
+# whitespace runs), so dropping them cannot fabricate adjacency.  DuckDB
+# lists are 1-indexed: range(1, len) yields i = 1 .. len-1.
+ORACLES["top_bigrams"] = r"""
+WITH d AS (
+  SELECT list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+  FROM documents
+), g AS (
+  SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS bigram
+  FROM d WHERE len(l) >= 2
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM g
+GROUP BY 1
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+"""
+
 # Salient term per document: argmax of tf/df (≡ tf·idf with idf = N/df —
 # N is constant per corpus so it drops out of the argmax).  The ratio is
 # ONE IEEE-double division of exact int64s, bit-identical between numpy

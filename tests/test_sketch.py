@@ -261,3 +261,22 @@ def test_tfidf_top_semantics(ray_session):
             [2, "a", 1, 3],
             [4, "d", 1, 1],
         ], got
+
+
+def test_bigram_counts_boundary_masking(ray_session):
+    """Pairs never straddle a document boundary; whitespace runs merge;
+    result is partitioning-invariant."""
+    from scoobie_ray.ops.sketch import bigram_counts, top_k_bigrams
+
+    texts = ["a b  c", " b c ", "x", ""]
+    want = [("a b", 1), ("b c", 2)]  # no 'c b' across docs, no 'x ?' pair
+    for par in (1, 4):
+        got = sorted(
+            map(
+                tuple,
+                bigram_counts(_docs_ids_ds(texts, par)).to_pandas().values.tolist(),
+            )
+        )
+        assert got == want, got
+    top = top_k_bigrams(_docs_ids_ds(texts), 1).to_pandas().values.tolist()
+    assert top == [["b c", 2]], top
