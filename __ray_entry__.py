@@ -201,6 +201,27 @@ def _q_top_bigrams(sf_dir: str):
     return top_k_bigrams(_documents(sf_dir), 20)
 
 
+def _q_type_token_ratio(sf_dir: str):
+    """Per-document lexical-diversity counters (distinct vs total
+    tokens) — row-local Arrow group-by, zero shuffles."""
+    from scoobie_ray.ops.sketch import type_token_counts
+
+    return type_token_counts(_documents(sf_dir))
+
+
+def _q_lang_top_tokens(sf_dir: str):
+    """Per-language token frequency top-3 (grouped top-k; combiner-first
+    partial counts, per-group cut over the groups x vocab table)."""
+    import ray.data
+
+    from scoobie_ray.ops.sketch import lang_top_tokens
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    return lang_top_tokens(docs, 3)
+
+
 def _q_cross_doc_grams(sf_dir: str):
     """Cross-document duplicated 8-gram statistics over documents
     (substring-dedup measurement; broadcast regime at this scale)."""
@@ -1150,6 +1171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": _q_redact_pii,  # new r4 — RE2 redaction, text-exact
         "tfidf_top": _q_tfidf_top,  # new r4 — salient term per doc
         "top_bigrams": _q_top_bigrams,  # new r4 — collocation counts
+        "type_token_ratio": _q_type_token_ratio,  # new r4 — lexical diversity
+        "lang_top_tokens": _q_lang_top_tokens,  # new r4 — grouped top-k
         "kg_rated": _q_kg_rated,
         # --- KG-construction pipeline (SURVEY.md §2.1/§2.3/§2.4) ---
         "kg_spot": views.kg_spot,
@@ -1164,8 +1187,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_media": _q_kg_media,
         "kg_regex": _q_kg_regex,
         "kg_regex_priority": _q_kg_regex_priority,
-        "doc_tokens": _q_doc_tokens,
-        "doc_sentences": _q_doc_sentences,
         "doc_pos_np": _q_doc_pos_np,
         "kb_resources": views.kb_resources,
         "kb_coverage": views.kb_coverage,
@@ -1208,6 +1229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (the local gate replica still checks them every run)
         "media_decode": _q_media_decode,
         "audio_decode": _q_audio_decode,
+        "doc_tokens": _q_doc_tokens,
+        "doc_sentences": _q_doc_sentences,
     }
 
 

@@ -514,3 +514,76 @@ def top_k_bigrams(ds, k: int, col: str = "text"):
     """Top-k corpus bigrams, ties broken by bigram asc (deterministic)."""
     counts = bigram_counts(ds, col)
     return counts.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
+def type_token_counts(ds, id_col: str = "doc_id", col: str = "text"):
+    """Lexical diversity counters per document: Dataset of (id_col,
+    n_types, n_tokens) — distinct-token and total-token counts, the two
+    integers behind a type-token-ratio quality signal.  Entirely
+    row-local (one document per row): one Arrow group-by per batch, no
+    shuffle at all; documents with no tokens emit no row."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        g = _row_token_tf(batch, col)
+        agg = (
+            g.group_by(["row"])
+            .aggregate([("tf", "sum"), ([], "count_all")])
+        )
+        ids = batch[id_col].take(agg["row"].combine_chunks())
+        return pa.table(
+            {
+                id_col: ids,
+                "n_types": pc.cast(agg["count_all"], pa.int64()),
+                "n_tokens": pc.cast(agg["tf_sum"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(local, batch_format="pyarrow")
+
+
+def lang_top_tokens(ds, k: int, group_col: str = "lang", col: str = "text"):
+    """Per-group token frequency top-k (ties token asc).  Combiner-first:
+    per-batch (group, token) Arrow group-by, ONE ``groupby.sum`` shuffle
+    of partial counts, then the per-group top-k is cut on the driver over
+    the groups x vocab count table (same vocabulary-fits assumption as
+    :func:`top_k_tokens`'s sort).  Returns a pyarrow Table
+    (group_col, token, n int64)."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        from ..util import compact_strings
+
+        lists = pc.utf8_split_whitespace(compact_strings(batch[col]))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        rows = pc.list_parent_indices(lists)
+        toks = pc.list_flatten(lists)
+        keep = pc.not_equal(toks, "")
+        grp = batch[group_col].take(rows.filter(keep))
+        t = pa.table({"g": grp, "token": toks.filter(keep)})
+        agg = t.group_by(["g", "token"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "g": agg["g"],
+                "token": agg["token"],
+                "n": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby(["g", "token"])
+        .sum("n")
+        .to_pandas()  # groups x vocab
+    )
+    counts.columns = ["g", "token", "n"]
+    counts = counts.sort_values(
+        ["g", "n", "token"], ascending=[True, False, True]
+    )
+    top = counts.groupby("g", sort=True).head(k)
+    return pa.table(
+        {
+            group_col: pa.array(top["g"].tolist()),
+            "token": pa.array(top["token"].tolist(), pa.string()),
+            "n": pa.array(top["n"].to_numpy(dtype=np.int64), pa.int64()),
+        }
+    )

@@ -1434,6 +1434,34 @@ ORDER BY n DESC, bigram ASC
 LIMIT 20
 """
 
+# Lexical-diversity counters (type-token ratio as two exact integers;
+# documents with no tokens emit no row on either side).
+ORACLES["type_token_ratio"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents
+)
+SELECT doc_id,
+       CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM tok WHERE token <> ''
+GROUP BY 1
+"""
+
+# Per-language token top-3 (grouped top-k; ties token asc).
+ORACLES["lang_top_tokens"] = r"""
+WITH tok AS (
+  SELECT lang, unnest(string_split_regex(text, '\s+')) AS token FROM documents
+), c AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok WHERE token <> '' GROUP BY 1, 2
+), r AS (
+  SELECT lang, token, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rn
+  FROM c
+)
+SELECT lang, token, n FROM r WHERE rn <= 3
+"""
+
 # Salient term per document: argmax of tf/df (≡ tf·idf with idf = N/df —
 # N is constant per corpus so it drops out of the argmax).  The ratio is
 # ONE IEEE-double division of exact int64s, bit-identical between numpy

@@ -280,3 +280,33 @@ def test_bigram_counts_boundary_masking(ray_session):
         assert got == want, got
     top = top_k_bigrams(_docs_ids_ds(texts), 1).to_pandas().values.tolist()
     assert top == [["b c", 2]], top
+
+
+def test_type_token_counts(ray_session):
+    from scoobie_ray.ops.sketch import type_token_counts
+
+    texts = ["a b a", "c", "", "  "]
+    got = sorted(
+        map(
+            tuple,
+            type_token_counts(_docs_ids_ds(texts)).to_pandas().values.tolist(),
+        )
+    )
+    assert got == [(0, 2, 3), (1, 1, 1)], got  # empty docs emit no row
+
+
+def test_lang_top_tokens_grouped_topk(ray_session):
+    import ray.data
+
+    from scoobie_ray.ops.sketch import lang_top_tokens
+
+    t = pa.table(
+        {
+            "lang": pa.array(["en", "en", "de"], pa.string()),
+            "text": pa.array(["a a b c", "b c", "x y y"], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = lang_top_tokens(ds, 2).to_pandas().values.tolist()
+    # en: a=2 b=2 c=2 -> ties token asc -> a, b; de: y=2, x=1
+    assert got == [["de", "y", 2], ["de", "x", 1], ["en", "a", 2], ["en", "b", 2]], got
