@@ -65,6 +65,30 @@ def stage_docs(sf_dir: str) -> str:
     return path
 
 
+def _worker_quiet_hook() -> None:
+    """Worker-process mirror of scoobie_ray.util.quiet_ray_data_chatter —
+    self-contained on purpose (cloudpickled BY VALUE from __main__; a
+    by-reference scoobie_ray function fails to deserialize at worker
+    bootstrap with ModuleNotFoundError)."""
+    import logging
+
+    class _DropKnown(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            if "Failed to hash the schemas" in msg:
+                return False
+            if "RefBundle with a different schema" in msg and "new schema: ." in msg:
+                return False
+            return True
+
+    for name in (
+        "ray.data",
+        "ray.data._internal.execution.streaming_executor_state",
+        "ray.data._internal.arrow_ops.transform_pyarrow",
+    ):
+        logging.getLogger(name).addFilter(_DropKnown())
+
+
 def run_bench() -> dict:
     import ray
     import ray.data
@@ -74,6 +98,13 @@ def run_bench() -> dict:
         num_cpus=NUM_CPUS,
         include_dashboard=False,
         logging_level="ERROR",
+        # install the benign-warning filter in WORKER processes too — the
+        # schema-hash line is logged by shuffle reduce tasks and streamed
+        # to the driver tail, bypassing driver-side logging filters.  The
+        # hook must be SELF-CONTAINED (defined in __main__, pickled by
+        # value): a scoobie_ray reference can't deserialize at worker
+        # bootstrap, before task-time sys.path injection
+        runtime_env={"worker_process_setup_hook": _worker_quiet_hook},
     )
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False

@@ -394,7 +394,28 @@ def token_doc_freq(ds, col: str = "text"):
     )
 
 
-def tfidf_top(ds, id_col: str = "doc_id", col: str = "text"):
+def _doc_argmax_cut(pdf, key: str):
+    """Per-``key`` argmax under (ratio desc, tf desc, token asc): one
+    comparison-based sort + first-row-per-key boundary mask — no pandas
+    hash ops (they truncate strings at embedded NULs)."""
+    pdf = pdf.sort_values(
+        [key, "ratio", "tf", "token"],
+        ascending=[True, False, False, True],
+        kind="mergesort",
+    )
+    kv = pdf[key].to_numpy()
+    first = (
+        np.concatenate(([True], kv[1:] != kv[:-1])) if len(kv) else np.array([], bool)
+    )
+    return pdf.iloc[first]
+
+
+def tfidf_top(
+    ds,
+    id_col: str = "doc_id",
+    col: str = "text",
+    broadcast_limit: int = 2_000_000,
+):
     """Salient term per document: argmax of tf·idf with idf = N/df, i.e.
     argmax of the tf/df ratio (N is constant per corpus so it drops out
     of the argmax).  Ties broken by tf desc then token asc — a total,
@@ -402,62 +423,210 @@ def tfidf_top(ds, id_col: str = "doc_id", col: str = "text"):
     exact int64s, bit-identical in numpy and DuckDB ``CAST(tf AS
     DOUBLE) / df``).
 
-    Shape: ONE small shuffle builds the (token, df) table, which is
-    broadcast once via ``ray.put``; scoring is then embarrassingly
-    parallel — per-doc tf is row-local (one document per row), so the
-    corpus text never rides a shuffle.  ASSUMPTION: the vocabulary fits
-    in worker memory (true for word-level vocabularies; the 100-TB
-    fallback is a token-keyed sorted-merge join instead of the
-    broadcast).
+    Two-regime scale shape (r5, replacing a driver-built Python dict of
+    the whole vocabulary — VERDICT r4 item 1; the `cross_doc_grams`
+    pattern):
 
+    - ``vocab ≤ broadcast_limit``: ONE small shuffle builds the
+      (token, df) table, which is broadcast once via ``ray.put`` as a
+      SORTED (token-hash u64, df) numpy pair (no Python dict); scoring is
+      embarrassingly parallel — per-doc tf is row-local (one document per
+      row) and the df lookup is one ``searchsorted``.
+    - above it (the word-"vocabulary" of a 100-TB web corpus is billions
+      of entries — NOT a small side): the per-doc (token, tf) stream and
+      the df table are co-partitioned on the token hash; each partition
+      joins df in and cuts a per-doc LOCAL argmax (≤ 1 row per doc per
+      partition survives), then one doc-keyed shuffle resolves the global
+      per-doc argmax.  The corpus text itself never rides a shuffle —
+      only (id, token, tf, df) candidate rows.
+
+    Token identity is the deterministic 64-bit string hash in BOTH
+    regimes (collision tolerance 2^-64, same as the gram-hash operators).
     Returns a Dataset of (id_col, token, tf int64, df int64); documents
     with no tokens emit no row.
     """
-    df_tbl = token_doc_freq(ds, col).to_pandas()  # vocab-sized
-    df_map = dict(zip(df_tbl["token"].tolist(), df_tbl["df"].tolist()))
-    try:
-        import ray
+    import pandas as pd
+    import ray
 
-        df_ref = ray.put(df_map)
-    except Exception:
-        df_ref = None
+    from .dedup import _shuffle_parallelism
+    from ..util import compact_strings, hash_string_array_u64
 
-    def score(batch: pa.Table) -> pa.Table:
-        m = df_map
-        if df_ref is not None:
-            import ray
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.string()),
+            "token": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+        }
+    )
 
-            m = ray.get(df_ref)  # local object-store hit after 1st batch
-        g = _row_token_tf(batch, col)
-        if g.num_rows == 0:
+    def _tok_hash(tok_col) -> np.ndarray:
+        if isinstance(tok_col, pa.ChunkedArray):
+            tok_col = tok_col.combine_chunks()
+        return hash_string_array_u64(compact_strings(tok_col))
+
+    df_ds = token_doc_freq(ds, col).materialize()
+    n_vocab = df_ds.count()
+
+    if n_vocab <= broadcast_limit:
+        parts_h, parts_d = [], []
+        for b in df_ds.iter_batches(batch_format="pyarrow"):
+            parts_h.append(_tok_hash(b["token"]))
+            parts_d.append(b["df"].to_numpy(zero_copy_only=False).astype(np.int64))
+        h = np.concatenate(parts_h) if parts_h else np.zeros(0, np.uint64)
+        d = np.concatenate(parts_d) if parts_d else np.zeros(0, np.int64)
+        order = np.argsort(h, kind="stable")
+        df_ref = ray.put((h[order], d[order]))
+
+        def score(batch: pa.Table) -> pa.Table:
+            hs, dfs = ray.get(df_ref)  # local object-store hit after 1st batch
+            g = _row_token_tf(batch, col)
+            if g.num_rows == 0:
+                return empty.set_column(
+                    0, id_col, pa.array([], batch[id_col].type)
+                )
+            th = _tok_hash(g["token"])
+            pos = np.searchsorted(hs, th)
+            pdf = g.to_pandas()
+            pdf["df"] = dfs[pos]  # every token has df >= 1 by construction
+            pdf["ratio"] = pdf["tf"].to_numpy(dtype=np.float64) / pdf[
+                "df"
+            ].to_numpy(dtype=np.float64)
+            pdf = _doc_argmax_cut(pdf, "row")
+            ids = batch[id_col].take(pa.array(pdf["row"].to_numpy()))
             return pa.table(
                 {
-                    id_col: pa.array([], batch[id_col].type),
-                    "token": pa.array([], pa.string()),
-                    "tf": pa.array([], pa.int64()),
-                    "df": pa.array([], pa.int64()),
+                    id_col: ids,
+                    "token": pa.array(pdf["token"].tolist(), pa.string()),
+                    "tf": pa.array(pdf["tf"].to_numpy(dtype=np.int64), pa.int64()),
+                    "df": pa.array(pdf["df"].to_numpy(dtype=np.int64), pa.int64()),
                 }
             )
-        pdf = g.to_pandas()
-        pdf["df"] = pdf["token"].map(m).astype("int64")
-        pdf["ratio"] = pdf["tf"].to_numpy(dtype=np.float64) / pdf[
-            "df"
-        ].to_numpy(dtype=np.float64)
-        pdf = pdf.sort_values(
-            ["row", "ratio", "tf", "token"],
-            ascending=[True, False, False, True],
-        ).drop_duplicates("row")
-        ids = batch[id_col].take(pa.array(pdf["row"].to_numpy()))
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # ---- distributed regime: co-partitioned df join on the token hash ----
+    P = _shuffle_parallelism()
+    sch = ds.schema()  # ray Schema wrapper: parallel .names / .types lists
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        g = _row_token_tf(batch, col)
+        th = _tok_hash(g["token"]).view(np.int64)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        rows = g["row"]
+        if isinstance(rows, pa.ChunkedArray):
+            rows = rows.combine_chunks()
         return pa.table(
             {
-                id_col: ids,
-                "token": pa.array(pdf["token"].tolist(), pa.string()),
-                "tf": pa.array(pdf["tf"].to_numpy(dtype=np.int64), pa.int64()),
-                "df": pa.array(pdf["df"].to_numpy(dtype=np.int64), pa.int64()),
+                id_col: ids.take(rows),
+                "token": g["token"],
+                "tf": g["tf"],
+                "df": pa.array(np.zeros(g.num_rows, dtype=np.int64)),
+                "th": pa.array(th, pa.int64()),
+                "_part": pa.array(
+                    (_splitmix64(th.view(np.uint64)) % np.uint64(P)).astype(np.int64)
+                ),
+                "_side": pa.array(np.zeros(g.num_rows, dtype=np.int8)),
             }
         )
 
-    return ds.map_batches(score, batch_format="pyarrow")
+    # side-1 rows never contribute id values; a TYPED sentinel (not null)
+    # keeps the pandas id column int64 — a null would degrade int64 ids to
+    # float64, silently corrupting ids above 2^53
+    id_sentinel = (
+        ""
+        if pa.types.is_string(id_type) or pa.types.is_large_string(id_type)
+        else 0
+    )
+
+    def df_rows(batch: pa.Table) -> pa.Table:
+        th = _tok_hash(batch["token"]).view(np.int64)
+        n = batch.num_rows
+        return pa.table(
+            {
+                id_col: pa.array([id_sentinel] * n, id_type),
+                "token": batch["token"],
+                "tf": pa.array(np.zeros(n, dtype=np.int64)),
+                "df": pc.cast(batch["df"], pa.int64()),
+                "th": pa.array(th, pa.int64()),
+                "_part": pa.array(
+                    (_splitmix64(th.view(np.uint64)) % np.uint64(P)).astype(np.int64)
+                ),
+                "_side": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    def _empty_joined(part: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: part[id_col].iloc[:0],
+                "token": part["token"].iloc[:0],
+                "tf": pd.Series(dtype="int64"),
+                "df": pd.Series(dtype="int64"),
+                "ratio": pd.Series(dtype="float64"),
+            }
+        )
+
+    def join_local_cut(part: pd.DataFrame) -> pd.DataFrame:
+        out_cols = [id_col, "token", "tf", "df", "ratio"]
+        if not len(part):
+            return _empty_joined(part)
+        side = part["_side"].to_numpy()
+        dfp = part.iloc[side == 1]
+        wins = part.iloc[side == 0]
+        if not len(wins):
+            return _empty_joined(part)
+        dh = dfp["th"].to_numpy(dtype=np.int64)
+        dorder = np.argsort(dh, kind="stable")
+        dh = dh[dorder]
+        dv = dfp["df"].to_numpy(dtype=np.int64)[dorder]
+        pos = np.searchsorted(dh, wins["th"].to_numpy(dtype=np.int64))
+        out = pd.DataFrame(
+            {
+                id_col: wins[id_col].to_numpy(),
+                "token": wins["token"].to_numpy(),
+                "tf": wins["tf"].to_numpy(dtype=np.int64),
+                "df": dv[pos],
+            }
+        )
+        out["ratio"] = out["tf"].to_numpy(dtype=np.float64) / out["df"].to_numpy(
+            dtype=np.float64
+        )
+        return _doc_argmax_cut(out, id_col)[out_cols]
+
+    def tag_doc_part(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if pa.types.is_string(ids.type) or pa.types.is_large_string(ids.type):
+            dh = hash_string_array_u64(compact_strings(ids))
+        else:
+            dh = _splitmix64(
+                pc.cast(ids, pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+            )
+        return batch.append_column(
+            "_part2", pa.array((dh % np.uint64(P)).astype(np.int64), pa.int64())
+        )
+
+    def final_cut(group: pd.DataFrame) -> pd.DataFrame:
+        out = _doc_argmax_cut(group, id_col)
+        return out[[id_col, "token", "tf", "df"]].astype(
+            {"tf": "int64", "df": "int64"}
+        )
+
+    return (
+        ds.select_columns([id_col, col])
+        .map_batches(doc_rows, batch_format="pyarrow")
+        .union(df_ds.map_batches(df_rows, batch_format="pyarrow"))
+        .groupby("_part")
+        .map_groups(join_local_cut, batch_format="pandas")
+        .map_batches(tag_doc_part, batch_format="pyarrow")
+        .groupby("_part2")
+        .map_groups(final_cut, batch_format="pandas")
+    )
 
 
 def bigram_counts(ds, col: str = "text"):
@@ -541,16 +710,41 @@ def type_token_counts(ds, id_col: str = "doc_id", col: str = "text"):
     return ds.map_batches(local, batch_format="pyarrow")
 
 
+def _grouped_topk_cut(pdf, k: int, g_col="g", n_col="n", tok_col="token"):
+    """Per-group (n desc, token asc) top-k over a pandas frame, via ONE
+    comparison-based sort + run-length ranks — no pandas hash-groupby
+    (hash ops truncate strings at embedded NULs), no per-group Python."""
+    pdf = pdf.sort_values(
+        [g_col, n_col, tok_col], ascending=[True, False, True], kind="mergesort"
+    )
+    g = pdf[g_col].to_numpy()
+    new_g = np.concatenate(([True], g[1:] != g[:-1])) if len(g) else np.array([], bool)
+    starts = np.flatnonzero(new_g)
+    counts = np.diff(np.append(starts, len(g)))
+    rank = np.arange(len(g), dtype=np.int64) - np.repeat(starts, counts)
+    return pdf.iloc[rank < k]
+
+
 def lang_top_tokens(ds, k: int, group_col: str = "lang", col: str = "text"):
-    """Per-group token frequency top-k (ties token asc).  Combiner-first:
-    per-batch (group, token) Arrow group-by, ONE ``groupby.sum`` shuffle
-    of partial counts, then the per-group top-k is cut on the driver over
-    the groups x vocab count table (same vocabulary-fits assumption as
-    :func:`top_k_tokens`'s sort).  Returns a pyarrow Table
+    """Per-group token frequency top-k (ties token asc), fully distributed
+    (r5, replacing a driver ``to_pandas()`` of the groups × vocab table —
+    VERDICT r4 item 2).  Combiner-first like :func:`token_counts`: per
+    batch an Arrow (group, token) group-by emits partial counts tagged
+    with a TOKEN-hash partition (all partials of a (group, token) pair
+    co-locate; the group label rides).  Each partition sums its partials
+    exactly, then cuts a per-group LOCAL top-k (≤ k rows per group per
+    partition survive), and one tiny ``groupby(group)`` final cut merges
+    the ≤ k·P candidate rows per group — the vocab-sized count table
+    never leaves the workers.  Returns a Dataset
     (group_col, token, n int64)."""
+    import pandas as pd
+
+    from .dedup import _shuffle_parallelism
+
+    P = _shuffle_parallelism()
 
     def local(batch: pa.Table) -> pa.Table:
-        from ..util import compact_strings
+        from ..util import compact_strings, hash_string_array_u64
 
         lists = pc.utf8_split_whitespace(compact_strings(batch[col]))
         if isinstance(lists, pa.ChunkedArray):
@@ -561,29 +755,48 @@ def lang_top_tokens(ds, k: int, group_col: str = "lang", col: str = "text"):
         grp = batch[group_col].take(rows.filter(keep))
         t = pa.table({"g": grp, "token": toks.filter(keep)})
         agg = t.group_by(["g", "token"]).aggregate([([], "count_all")])
+        tok = agg["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        part = (hash_string_array_u64(tok) % np.uint64(P)).astype(np.int64)
         return pa.table(
             {
                 "g": agg["g"],
                 "token": agg["token"],
                 "n": pc.cast(agg["count_all"], pa.int64()),
+                "_part": pa.array(part, pa.int64()),
             }
         )
 
-    counts = (
-        ds.map_batches(local, batch_format="pyarrow")
-        .groupby(["g", "token"])
-        .sum("n")
-        .to_pandas()  # groups x vocab
-    )
-    counts.columns = ["g", "token", "n"]
-    counts = counts.sort_values(
-        ["g", "n", "token"], ascending=[True, False, True]
-    )
-    top = counts.groupby("g", sort=True).head(k)
-    return pa.table(
-        {
-            group_col: pa.array(top["g"].tolist()),
-            "token": pa.array(top["token"].tolist(), pa.string()),
-            "n": pa.array(top["n"].to_numpy(dtype=np.int64), pa.int64()),
-        }
+    def part_topk(part: pd.DataFrame) -> pd.DataFrame:
+        # exact global (g, token) counts for THIS token partition, then a
+        # per-group local cut — a token's count never spans partitions
+        if not len(part):
+            return pd.DataFrame(
+                {"g": part["g"].iloc[:0], "token": part["token"].iloc[:0],
+                 "n": pd.Series(dtype="int64")}
+            )
+        agg = (
+            pa.Table.from_pandas(
+                part[["g", "token", "n"]], preserve_index=False
+            )
+            .group_by(["g", "token"])
+            .aggregate([("n", "sum")])
+        )
+        summed = pa.table(
+            {"g": agg["g"], "token": agg["token"], "n": agg["n_sum"]}
+        ).to_pandas()
+        return _grouped_topk_cut(summed, k)
+
+    def final_cut(group: pd.DataFrame) -> pd.DataFrame:
+        out = _grouped_topk_cut(group[["g", "token", "n"]], k)
+        return out.rename(columns={"g": group_col})
+
+    return (
+        ds.select_columns([group_col, col])
+        .map_batches(local, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(part_topk, batch_format="pandas")
+        .groupby("g")  # ≤ k·P candidate rows per group — tiny
+        .map_groups(final_cut, batch_format="pandas")
     )

@@ -105,23 +105,46 @@ class LangId:
     vote is the dependency-free equivalent at corpus scale).  Ties or
     no-hit default to 'en' like the reference defaults to EN."""
 
+    #: chars a "word" may contain — everything else is a separator
+    WORD_CHARS = r"a-zäöüéèáíóú"
+
     def __init__(self, langs: tuple[str, ...] = ("en", "es", "de", "fr")):
         self.langs = langs
         self.profiles = {l: STOPWORDS[l] for l in langs}
-        self.word_re = re.compile(r"[a-zäöüéèáíóú]+")
+        # one Arrow value_set per language, built once per actor (r5:
+        # vectorized __call__, replacing a per-row Python loop on the
+        # curate hot path — VERDICT r4 item 3)
+        self._sets = [
+            pa.array(sorted(STOPWORDS[l]), pa.string()) for l in langs
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = []
-        for t in batch["text"].to_pylist():
-            words = self.word_re.findall((t or "").lower())
-            best, best_n = "en", -1
-            for lang in self.langs:
-                prof = self.profiles[lang]
-                n = sum(1 for w in words if w in prof)
-                if n > best_n:
-                    best, best_n = lang, n
-            preds.append(best)
-        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+        from ..util import compact_strings
+
+        n_rows = batch.num_rows
+        col = pc.utf8_lower(pc.fill_null(compact_strings(batch["text"]), ""))
+        # findall(r"[word]+") == split on the complement: collapse every
+        # non-word char run to a space, then whitespace-split (both RE2)
+        col = pc.replace_substring_regex(
+            col, pattern=f"[^{self.WORD_CHARS}]+", replacement=" "
+        )
+        lists = pc.utf8_split_whitespace(col)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        rows = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        toks = pc.list_flatten(lists)
+        keep = pc.not_equal(toks, "").to_numpy(zero_copy_only=False)
+        toks, rows = toks.filter(pa.array(keep)), rows[keep]
+        # per-(row, lang) stopword hits: one is_in + bincount per language
+        votes = np.empty((len(self.langs), n_rows), dtype=np.int64)
+        for i, vs in enumerate(self._sets):
+            hit = pc.is_in(toks, value_set=vs).to_numpy(zero_copy_only=False)
+            votes[i] = np.bincount(rows[hit], minlength=n_rows)
+        # first max wins == the loop's strict-> update order (langs order)
+        preds = np.asarray(self.langs, dtype=object)[np.argmax(votes, axis=0)]
+        return batch.append_column(
+            "lang_pred", pa.array(preds.tolist(), pa.string())
+        )
 
 
 def normalize_text(t: str) -> str:

@@ -62,9 +62,7 @@ def curate(
         if batch.num_rows == 0:
             return batch
         batch = langid(batch)
-        keep_lang = pa.array(
-            [p == lang for p in batch["lang_pred"].to_pylist()]
-        )
+        keep_lang = pc.equal(batch["lang_pred"], lang)
         return batch.filter(keep_lang).drop_columns(["lang_pred"])
 
     filtered = ds.map_batches(keep, batch_format="pyarrow")

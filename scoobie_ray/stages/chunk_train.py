@@ -130,16 +130,11 @@ def read_conll_chunked(path: str) -> list[list[tuple[str, str, str]]]:
 
     from ..sources.corpus import DOCSTART
 
-    if path.endswith(".zip"):
-        zf = zipfile.ZipFile(path)
-        inner = zf.namelist()[0]
-        fh = io.TextIOWrapper(zf.open(inner), encoding="utf-8", errors="replace")
-    else:
-        fh = open(path, encoding="utf-8", errors="replace")
-
     sentences: list[list[tuple[str, str, str]]] = []
     cur: list[tuple[str, str, str]] = []
-    with fh:
+
+    def scan(fh) -> None:
+        nonlocal cur
         for line in fh:
             line = line.rstrip("\n")
             if line.startswith(DOCSTART) or not line.strip():
@@ -150,6 +145,19 @@ def read_conll_chunked(path: str) -> list[list[tuple[str, str, str]]]:
             parts = line.split()
             if len(parts) >= 3:
                 cur.append((parts[0], parts[1], parts[2]))
+
+    if path.endswith(".zip"):
+        # close the ARCHIVE handle too, not just the member stream (the
+        # bare ZipFile leaked one fd per call)
+        with zipfile.ZipFile(path) as zf:
+            inner = zf.namelist()[0]
+            with io.TextIOWrapper(
+                zf.open(inner), encoding="utf-8", errors="replace"
+            ) as fh:
+                scan(fh)
+    else:
+        with open(path, encoding="utf-8", errors="replace") as fh:
+            scan(fh)
     if cur:
         sentences.append(cur)
     return sentences

@@ -100,12 +100,19 @@ def quiet_ray_data_chatter() -> None:
     stay visible (r3-VERDICT item 9) — a targeted message filter, not a
     level change:
 
-    - ``Failed to hash the schemas (for deduplication)``: schema metadata
-      containing a dict is unhashable; Ray falls back to full unification
-      (transform_pyarrow.py:181) — cosmetic.
+    - ``Failed to hash the schemas (for deduplication)``: pandas-format
+      shuffle blocks carry schemas Ray's set()-dedup can't hash; Ray falls
+      back to full unification (transform_pyarrow.py:181) — cosmetic.
     - ``RefBundle with a different schema … new schema: ``: sort/aggregate
       partitions with zero rows emit schema-less blocks
       (streaming_executor_state.py:793) — expected for sparse keys.
+
+    The schema-hash line is logged by shuffle REDUCE tasks in WORKER
+    processes (streamed to the driver's tail as ``(reduce pid=…)`` lines),
+    so installing the filter on the driver is not enough — pass this
+    function as ``ray.init(runtime_env={"worker_process_setup_hook":
+    quiet_ray_data_chatter})`` too (bench.py / check_correctness do;
+    r4-VERDICT item 6).  Idempotent per process.
     """
     import logging
 

@@ -263,6 +263,30 @@ def test_tfidf_top_semantics(ray_session):
         ], got
 
 
+def test_tfidf_top_forced_distributed(ray_session):
+    """broadcast_limit=0 forces the co-partitioned df-join regime (the
+    cross_doc_grams pattern); it must agree with the broadcast regime
+    row-for-row, with int64 ids intact (a null-padded df side would
+    degrade ids to float64) — the dedup driver_limit=0 test shape."""
+    from scoobie_ray.ops.sketch import tfidf_top
+
+    texts = ["a a b", "a c", "a", "", "e d", "f f g a", "c c b"]
+    want = (
+        tfidf_top(_docs_ids_ds(texts, 3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        tfidf_top(_docs_ids_ds(texts, 3), broadcast_limit=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[want.columns]
+    )
+    assert str(got["doc_id"].dtype) == "int64", got.dtypes
+    assert got.equals(want), (got, want)
+
+
 def test_bigram_counts_boundary_masking(ray_session):
     """Pairs never straddle a document boundary; whitespace runs merge;
     result is partitioning-invariant."""

@@ -58,19 +58,48 @@ def main() -> int:
 
     import ray
 
+    sys.path.insert(0, "/root/repo")  # script dir is tools/, not the repo
+    from scoobie_ray.util import quiet_ray_data_chatter
+
+    def _worker_quiet_hook() -> None:
+        # self-contained mirror of quiet_ray_data_chatter: worker-side
+        # filter for the schema-hash warning logged by shuffle reduce
+        # tasks (a scoobie_ray reference can't deserialize at worker
+        # bootstrap); pickled by value from __main__
+        import logging
+
+        class _DropKnown(logging.Filter):
+            def filter(self, record: logging.LogRecord) -> bool:
+                msg = record.getMessage()
+                if "Failed to hash the schemas" in msg:
+                    return False
+                if (
+                    "RefBundle with a different schema" in msg
+                    and "new schema: ." in msg
+                ):
+                    return False
+                return True
+
+        for name in (
+            "ray.data",
+            "ray.data._internal.execution.streaming_executor_state",
+            "ray.data._internal.arrow_ops.transform_pyarrow",
+        ):
+            logging.getLogger(name).addFilter(_DropKnown())
+
     ray.init(
         address="local",
         num_cpus=8,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # worker-side filter too: the schema-hash warning is logged by
+        # shuffle reduce tasks in worker processes
+        runtime_env={"worker_process_setup_hook": _worker_quiet_hook},
     )
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
-
-    sys.path.insert(0, "/root/repo")  # script dir is tools/, not the repo
-    from scoobie_ray.util import quiet_ray_data_chatter
 
     quiet_ray_data_chatter()
     import __ray_entry__ as entrymod
