@@ -224,7 +224,9 @@ def _q_lang_top_tokens(sf_dir: str):
 
 def _q_cross_doc_grams(sf_dir: str):
     """Cross-document duplicated 8-gram statistics over documents
-    (substring-dedup measurement; broadcast regime at this scale)."""
+    (substring-dedup measurement; broadcast regime at this scale).
+    max_tokens pins the oracle's constant generate_series bound — a
+    longer fixture corpus fails loudly instead of silently diverging."""
     import ray.data
 
     from scoobie_ray.ops.curation import cross_doc_grams
@@ -232,7 +234,21 @@ def _q_cross_doc_grams(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    return cross_doc_grams(ds, n=8)
+    return cross_doc_grams(ds, n=8, max_tokens=512)
+
+
+def _q_dedup_substrings(sf_dir: str):
+    """Substring-level dedup, the ACTION half of cross_doc_grams (new r5):
+    rewrite each document dropping tokens covered by a cross-document
+    duplicated 8-token window; byte-exact vs the SQL rewrite."""
+    import ray.data
+
+    from scoobie_ray.ops.curation import dedup_substrings
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dedup_substrings(ds, n=8, max_tokens=512)
 
 
 def _q_sample_stratified(sf_dir: str):
@@ -1146,12 +1162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": rq.events_hourly,
         "events_sessionize": rq.events_sessionize,
         "top_parts": rq.top_parts,
-        "orders_by_status": rq.orders_by_status,
-        "supplier_nation_join": rq.supplier_nation_join,
         "events_top_users": rq.events_top_users,
-        "distinct_event_types": rq.distinct_event_types,
-        "lineitem_yearly": rq.lineitem_yearly,
-        "part_size_histogram": rq.part_size_histogram,
         "customer_segments": rq.customer_segments,
         # --- never driver-checked through r3: temporal/graph/sketch tail ---
         "events_top3_by_user": _q_events_top3_by_user,
@@ -1169,10 +1180,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_rank": _q_shuffle_rank,  # new r4 — deterministic training order
         "sampled_quantiles": _q_sampled_quantiles,  # new r4 — bottom-k sketch
         "redact_pii": _q_redact_pii,  # new r4 — RE2 redaction, text-exact
-        "tfidf_top": _q_tfidf_top,  # new r4 — salient term per doc
+        "tfidf_top": _q_tfidf_top,  # r5-CHANGED — two-regime df join
         "top_bigrams": _q_top_bigrams,  # new r4 — collocation counts
         "type_token_ratio": _q_type_token_ratio,  # new r4 — lexical diversity
-        "lang_top_tokens": _q_lang_top_tokens,  # new r4 — grouped top-k
+        "lang_top_tokens": _q_lang_top_tokens,  # r5-CHANGED — distributed top-k
+        # --- r5 window rotation: new + r5-changed queries in; five
+        # r4-driver-green unchanged relational entries parked past the
+        # window (orders_by_status, supplier_nation_join,
+        # distinct_event_types, lineitem_yearly, part_size_histogram) ---
+        "dedup_substrings": _q_dedup_substrings,  # new r5 — substring rewrite
+        "langid": _q_langid,  # r5-CHANGED — vectorized LangId
+        "curate": _q_curate,  # r5-CHANGED — vectorized langid stage inside
+        "doc_tokens": _q_doc_tokens,  # rotated back in (r4 ADVICE: keep
+        "doc_sentences": _q_doc_sentences,  # tokenization-adjacent in-window)
         "kg_rated": _q_kg_rated,
         # --- KG-construction pipeline (SURVEY.md §2.1/§2.3/§2.4) ---
         "kg_spot": views.kg_spot,
@@ -1208,13 +1228,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "text_stats": _q_text_stats,
         "quality_flags": _q_quality_flags,
-        "langid": _q_langid,
         "knn_bruteforce": _q_knn,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "knn_lsh_recall": _q_knn_lsh_recall,
         "knn_ivf_recall": _q_knn_ivf_recall,
-        "curate": _q_curate,
         "decontaminate": _q_decontaminate,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "sample_stratified": _q_sample_stratified,
@@ -1224,13 +1242,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_touch": _q_events_last_touch,
         "events_window": _q_events_window,
         "events_click_window": _q_events_click_window,
-        # driver-verified in r3 and unchanged since; parked past the
+        # driver-verified (r3/r4) and unchanged since; parked past the
         # driver's 50-query window to make room for round-new queries
         # (the local gate replica still checks them every run)
         "media_decode": _q_media_decode,
         "audio_decode": _q_audio_decode,
-        "doc_tokens": _q_doc_tokens,
-        "doc_sentences": _q_doc_sentences,
+        "orders_by_status": rq.orders_by_status,
+        "supplier_nation_join": rq.supplier_nation_join,
+        "distinct_event_types": rq.distinct_event_types,
+        "lineitem_yearly": rq.lineitem_yearly,
+        "part_size_histogram": rq.part_size_histogram,
     }
 
 

@@ -264,6 +264,14 @@ def run_bench() -> dict:
     pack_sequences(docs_ds, budget=256).count()
     queries["pack_sequences"] = round(time.time() - t0, 3)
 
+    # substring-level dedup (rewrite): dup-gram shuffle + one streaming
+    # rewrite pass (broadcast regime at this scale)
+    from scoobie_ray.ops.curation import dedup_substrings
+
+    t0 = time.time()
+    dedup_substrings(docs_ds, n=8).count()
+    queries["dedup_substrings"] = round(time.time() - t0, 3)
+
     # persisted-LSH ANN: build the bucket-partitioned index + serve 3 queries
     import tempfile
 

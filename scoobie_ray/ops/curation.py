@@ -102,6 +102,25 @@ def _unique_token_hashes(uniq: pa.Array) -> np.ndarray:
     )
 
 
+def _window_positions(counts: np.ndarray, n: int):
+    """Flat start position of every n-token window.
+
+    Returns ``(gram_doc, pos, m)``: the doc index of each window, its
+    start position in the doc-concatenated flat token stream, and
+    ``m[d] = max(0, counts[d]-n+1)`` windows per doc (windows never cross
+    doc boundaries)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    m = np.maximum(counts - (n - 1), 0)
+    total = int(m.sum())
+    gram_doc = np.repeat(np.arange(len(counts), dtype=np.int64), m)
+    if total == 0:
+        return gram_doc, np.zeros(0, dtype=np.int64), m
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    gcum = np.concatenate(([0], np.cumsum(m)[:-1]))
+    within = np.arange(total, dtype=np.int64) - np.repeat(gcum, m)
+    return gram_doc, starts[gram_doc] + within, m
+
+
 def _window_gram_hashes(flat_h: np.ndarray, counts: np.ndarray, n: int):
     """Rolling n-token-window hashes over doc-concatenated token hashes.
 
@@ -111,16 +130,9 @@ def _window_gram_hashes(flat_h: np.ndarray, counts: np.ndarray, n: int):
     identical on the benchmark and corpus sides, so set membership of the
     hashes equals set membership of the gram strings up to 2^-64
     collisions."""
-    counts = np.asarray(counts, dtype=np.int64)
-    m = np.maximum(counts - (n - 1), 0)
-    total = int(m.sum())
-    gram_doc = np.repeat(np.arange(len(counts), dtype=np.int64), m)
-    if total == 0:
+    gram_doc, pos, m = _window_positions(counts, n)
+    if len(pos) == 0:
         return np.zeros(0, dtype=np.uint64), gram_doc, m
-    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    gcum = np.concatenate(([0], np.cumsum(m)[:-1]))
-    within = np.arange(total, dtype=np.int64) - np.repeat(gcum, m)
-    pos = starts[gram_doc] + within
     g = _splitmix64(flat_h[pos].astype(np.uint64))
     for j in range(1, n):
         g = _splitmix64(g ^ flat_h[pos + j])
@@ -447,40 +459,41 @@ def global_shuffle_rank(ds, key_col: str = "doc_id", n_part_bits: int = 6):
     return hashed.groupby("_part").map_groups(rank_part, batch_format="pandas")
 
 
-def cross_doc_grams(
-    ds,
-    n: int = 8,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    broadcast_limit: int = 2_000_000,
-):
-    """Cross-document duplicated-n-gram statistics — the measurement half
-    of substring-level dedup (Lee et al., "Deduplicating Training Data
-    Makes Language Models Better"): for every doc, how many of its n-token
-    windows carry a gram that also appears in ≥ 1 OTHER doc.
+def _id_hash_u64(ids) -> np.ndarray:
+    """Deterministic uint64 hash of an id column (string or integer)."""
+    from ..util import compact_strings, hash_string_array_u64
 
-    Scale shape: pass 1 emits per-batch DISTINCT (gram_hash, doc_part)
-    pairs (dictionary-encoded tokenization + rolling uint64 gram chain —
-    the decontaminate machinery) and ONE ``groupby(gram).count`` finds
-    grams with document frequency ≥ 2.  Pass 2 counts each doc's window
-    membership against that dup-gram set: broadcast sorted-array
-    searchsorted when the set is ≤ ``broadcast_limit`` (one streaming
-    pass), else a hash-partitioned semi-join of the window stream against
-    the co-partitioned dup set (the dup-gram set of a 100-TB corpus is
-    NOT a small side).  Output: (doc_id, n_grams, n_dup_windows) —
-    integer-exact, oracle-gated.
-    """
-    import ray
-    import ray.data
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    if pa.types.is_string(ids.type) or pa.types.is_large_string(ids.type):
+        return hash_string_array_u64(compact_strings(ids))
+    return _splitmix64(
+        pc.cast(ids, pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+    )
+
+
+def _assert_max_tokens(counts: np.ndarray, max_tokens: int | None) -> None:
+    if max_tokens is not None and len(counts) and int(counts.max()) > max_tokens:
+        raise ValueError(
+            f"document exceeds max_tokens={max_tokens} "
+            f"(got {int(counts.max())}): the SQL oracle's constant "
+            "generate_series bound would silently under-count"
+        )
+
+
+def _dup_gram_ds(ds, n: int, text_col: str, id_col: str, max_tokens: int | None):
+    """The cross-document DUPLICATED-gram hash set, as a materialized
+    Dataset of (g int64) — grams whose document frequency is ≥ 2.  Shared
+    pass 1 of :func:`cross_doc_grams` (measurement) and
+    :func:`dedup_substrings` (rewrite): per-batch DISTINCT
+    (gram_hash, doc) pairs ride ONE ``groupby(gram).sum`` shuffle; the
+    corpus text never moves."""
     from ray.data.aggregate import Sum
-
-    from scoobie_ray.ops.dedup import _shuffle_parallelism
-
-    P = _shuffle_parallelism()
 
     def batch_pairs(batch: pa.Table) -> pa.Table:
         """Per-batch distinct (gram hash, doc key) pairs (combiner)."""
         codes, _, counts, uniq = _flat_token_codes(batch[text_col])
+        _assert_max_tokens(counts, max_tokens)
         flat_h = _unique_token_hashes(uniq)[codes]
         g, gram_doc, _m = _window_gram_hashes(flat_h, counts, n)
         # distinct (gram, doc) within the batch == globally distinct
@@ -506,10 +519,51 @@ def cross_doc_grams(
         .groupby("g")
         .aggregate(Sum("_one", alias_name="df"))
     )
-    dup = df.map_batches(
+    return df.map_batches(
         lambda t: t.filter(pc.greater_equal(t["df"], 2)).select(["g"]),
         batch_format="pyarrow",
     ).materialize()
+
+
+def cross_doc_grams(
+    ds,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_limit: int = 2_000_000,
+    max_tokens: int | None = None,
+):
+    """Cross-document duplicated-n-gram statistics — the measurement half
+    of substring-level dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): for every doc, how many of its n-token
+    windows carry a gram that also appears in ≥ 1 OTHER doc.
+
+    Scale shape: pass 1 emits per-batch DISTINCT (gram_hash, doc_part)
+    pairs (dictionary-encoded tokenization + rolling uint64 gram chain —
+    the decontaminate machinery) and ONE ``groupby(gram).count`` finds
+    grams with document frequency ≥ 2.  Pass 2 counts each doc's window
+    membership against that dup-gram set: broadcast sorted-array
+    searchsorted when the set is ≤ ``broadcast_limit`` (one streaming
+    pass), else a hash-partitioned semi-join of the window stream against
+    the co-partitioned dup set (the dup-gram set of a 100-TB corpus is
+    NOT a small side).  Output: (doc_id, n_grams, n_dup_windows) —
+    integer-exact, oracle-gated.
+
+    ``max_tokens``: optional loud guard — raise if any document exceeds
+    it.  The DuckDB oracle enumerates gram start positions with a
+    constant ``generate_series`` bound (SQL requires constant bounds), so
+    the ORACLE silently under-counts past it; the driver query pins
+    ``max_tokens`` to that bound so a longer fixture corpus fails loudly
+    instead of diverging (r4 ADVICE).
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from scoobie_ray.ops.dedup import _shuffle_parallelism
+
+    P = _shuffle_parallelism()
+    dup = _dup_gram_ds(ds, n, text_col, id_col, max_tokens)
     n_dup = dup.count()
 
     if n_dup <= broadcast_limit:
@@ -547,8 +601,11 @@ def cross_doc_grams(
 
     # distributed regime: window stream and dup set co-partitioned on the
     # gram hash; per-partition vectorized membership, then one per-doc sum.
-    # Row sides: 0 = window, 1 = dup-gram, 2 = per-doc n_grams carrier
-    # (partition -1, passed through untouched).
+    # Row sides: 0 = window, 1 = dup-gram, 2 = per-doc n_grams carrier.
+    # Carrier rows never meet the dup set, so they are hash-partitioned by
+    # DOC id into their own partition range [P, 2P) — a single shared
+    # carrier partition would hold one row per corpus document, a
+    # one-task hotspot at scale (r4 ADVICE).
     sch = ds.schema()  # ray Schema wrapper: parallel .names / .types lists
     id_type = dict(zip(sch.names, sch.types))[id_col]
 
@@ -566,11 +623,12 @@ def cross_doc_grams(
                 "n_grams": pa.array(np.zeros(len(g), dtype=np.int64)),
             }
         )
+        carrier_part = P + (_id_hash_u64(ids) % np.uint64(P)).astype(np.int64)
         base = pa.table(
             {
                 id_col: ids,
                 "g": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
-                "_part": pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
+                "_part": pa.array(carrier_part, pa.int64()),
                 "_side": pa.array(np.full(batch.num_rows, 2, dtype=np.int8)),
                 "n_grams": pa.array(m, pa.int64()),
             }
@@ -595,7 +653,7 @@ def cross_doc_grams(
         if not len(part):
             e = part[id_col].iloc[:0]
             return pd.DataFrame({id_col: e, "n_grams": e, "n_dup_windows": e})
-        if int(part["_part"].iloc[0]) == -1:
+        if int(part["_part"].iloc[0]) >= P:  # carrier-only partition
             base = part[part["_side"] == 2]
             return pd.DataFrame(
                 {
@@ -637,6 +695,277 @@ def cross_doc_grams(
             ),
             batch_format="pyarrow",
         )
+    )
+
+
+def _drop_covered_tokens(
+    flat_tokens: pa.Array,
+    doc_idx: np.ndarray,
+    n_docs: int,
+    hit_pos: np.ndarray,
+    n: int,
+):
+    """Rewrite docs dropping every token covered by a duplicated window.
+
+    ``hit_pos``: flat start positions of the dup windows; token j is
+    covered iff some dup window [p, p+n) contains it — resolved with a
+    difference array + cumsum (windows never cross doc boundaries, so
+    coverage stays in-doc).  Returns (clean_texts StringArray aligned to
+    docs, n_dropped int64 per doc).  Fully vectorized."""
+    total = len(doc_idx)
+    if total == 0:
+        return pa.array([""] * n_docs, pa.string()), np.zeros(n_docs, np.int64)
+    cover = np.zeros(total + 1, dtype=np.int64)
+    np.add.at(cover, hit_pos, 1)
+    np.subtract.at(cover, hit_pos + n, 1)  # pos+n <= doc end <= total
+    covered = np.cumsum(cover)[:total] > 0
+    kept = ~covered
+    kept_counts = np.bincount(doc_idx[kept], minlength=n_docs).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int32)
+    vals = flat_tokens.filter(pa.array(kept))
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals)
+    texts = pc.binary_join(lists, " ")  # empty list -> "" (tested)
+    n_dropped = np.bincount(doc_idx[covered], minlength=n_docs).astype(np.int64)
+    return texts, n_dropped
+
+
+def dedup_substrings(
+    ds,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_limit: int = 2_000_000,
+    max_tokens: int | None = None,
+    out_col: str = "clean_text",
+):
+    """Substring-level dedup — the ACTION half of :func:`cross_doc_grams`
+    (Lee et al.): rewrite every document dropping each token covered by
+    an n-token window whose gram occurs in ≥ 2 distinct documents.
+    Deterministic given the corpus (whitespace retokenization: kept
+    tokens re-joined with single spaces), so the output is byte-exact
+    SQL-reproducible.
+
+    Scale shape mirrors cross_doc_grams: pass 1 builds the dup-gram set
+    (ONE groupby shuffle of per-batch-distinct (gram, doc) pairs); pass 2
+    rewrites —
+
+    - broadcast regime (dup set ≤ ``broadcast_limit``): one streaming
+      ``map_batches`` pass, membership via sorted-array searchsorted; the
+      corpus text never rides a shuffle.
+    - distributed regime: window rows and the co-partitioned dup set meet
+      on the gram hash (stage 1 → hit (doc, window-offset) rows), then
+      hits and documents are co-partitioned on the DOC hash and each
+      partition retokenizes + rewrites vectorized (stage 2).  The text
+      rides exactly ONE doc-keyed shuffle — inherent to routing hit
+      positions back to their documents when the dup set cannot be
+      broadcast.
+
+    Output: (id_col, out_col string, n_dropped int64) — one row per input
+    document; fully-duplicated docs come back as "".
+    """
+    import pandas as pd
+    import ray
+
+    from scoobie_ray.ops.dedup import _shuffle_parallelism
+
+    P = _shuffle_parallelism()
+    dup = _dup_gram_ds(ds, n, text_col, id_col, max_tokens)
+    n_dup = dup.count()
+
+    def _flat_tokens_of(codes: np.ndarray, uniq: pa.Array) -> pa.Array:
+        if not len(codes):
+            return pa.array([], pa.string())
+        return pc.take(uniq, pa.array(codes))
+
+    if n_dup <= broadcast_limit:
+        hashes = (
+            np.sort(
+                np.concatenate(
+                    [
+                        b["g"].to_numpy(zero_copy_only=False)
+                        for b in dup.iter_batches(batch_format="pyarrow")
+                    ]
+                ).astype(np.int64)
+            )
+            if n_dup
+            else np.zeros(0, dtype=np.int64)
+        )
+        dup_ref = ray.put(hashes)
+
+        def rewrite(batch: pa.Table) -> pa.Table:
+            dup_h = ray.get(dup_ref)
+            codes, doc_idx, counts, uniq = _flat_token_codes(batch[text_col])
+            flat_h = _unique_token_hashes(uniq)[codes]
+            g, _gram_doc, _m = _window_gram_hashes(flat_h, counts, n)
+            _, pos, _ = _window_positions(counts, n)
+            if len(g) and len(dup_h):
+                p = np.searchsorted(dup_h, g.view(np.int64))
+                hit = dup_h[np.minimum(p, len(dup_h) - 1)] == g.view(np.int64)
+                hit_pos = pos[hit]
+            else:
+                hit_pos = np.zeros(0, dtype=np.int64)
+            texts, n_dropped = _drop_covered_tokens(
+                _flat_tokens_of(codes, uniq), doc_idx, batch.num_rows, hit_pos, n
+            )
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    out_col: texts,
+                    "n_dropped": pa.array(n_dropped, pa.int64()),
+                }
+            )
+
+        return ds.select_columns([id_col, text_col]).map_batches(
+            rewrite, batch_format="pyarrow"
+        )
+
+    # ---- distributed regime ----
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    id_sentinel = (
+        ""
+        if pa.types.is_string(id_type) or pa.types.is_large_string(id_type)
+        else 0
+    )
+
+    def window_rows(batch: pa.Table) -> pa.Table:
+        codes, _doc_idx, counts, uniq = _flat_token_codes(batch[text_col])
+        flat_h = _unique_token_hashes(uniq)[codes]
+        g, gram_doc, _m = _window_gram_hashes(flat_h, counts, n)
+        _, pos, _ = _window_positions(counts, n)
+        starts = np.concatenate(([0], np.cumsum(np.asarray(counts, np.int64))[:-1]))
+        within = pos - starts[gram_doc] if len(pos) else pos
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(gram_doc)),
+                "w": pa.array(within, pa.int64()),
+                "g": pa.array(g.view(np.int64), pa.int64()),
+                "_part": pa.array(
+                    (_splitmix64(g) % np.uint64(P)).astype(np.int64)
+                ),
+                "_side": pa.array(np.zeros(len(g), dtype=np.int8)),
+            }
+        )
+
+    def dup_side(batch: pa.Table) -> pa.Table:
+        g = batch["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array([id_sentinel] * len(g), id_type),
+                "w": pa.array(np.zeros(len(g), dtype=np.int64)),
+                "g": pa.array(g, pa.int64()),
+                "_part": pa.array(
+                    (_splitmix64(g.view(np.uint64)) % np.uint64(P)).astype(np.int64)
+                ),
+                "_side": pa.array(np.ones(len(g), dtype=np.int8)),
+            }
+        )
+
+    def member_hits(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame(
+                {id_col: part[id_col].iloc[:0], "w": pd.Series(dtype="int64")}
+            )
+        side = part["_side"].to_numpy()
+        dup_h = np.sort(part["g"].to_numpy(dtype=np.int64)[side == 1])
+        wins = part.iloc[side == 0]
+        if not len(wins) or not len(dup_h):
+            return pd.DataFrame(
+                {id_col: part[id_col].iloc[:0], "w": pd.Series(dtype="int64")}
+            )
+        g = wins["g"].to_numpy(dtype=np.int64)
+        p = np.searchsorted(dup_h, g)
+        hit = dup_h[np.minimum(p, len(dup_h) - 1)] == g
+        return pd.DataFrame(
+            {
+                id_col: wins[id_col].to_numpy()[hit],
+                "w": wins["w"].to_numpy(dtype=np.int64)[hit],
+            }
+        )
+
+    hits_ds = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(window_rows, batch_format="pyarrow")
+        .union(dup.map_batches(dup_side, batch_format="pyarrow"))
+        .groupby("_part")
+        .map_groups(member_hits, batch_format="pandas")
+    )
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                id_col: ids,
+                text_col: batch[text_col],
+                "w": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+                "_part2": pa.array(
+                    (_id_hash_u64(ids) % np.uint64(P)).astype(np.int64)
+                ),
+                "_side": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def hit_side(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                id_col: ids,
+                text_col: pa.array([""] * batch.num_rows, pa.string()),
+                "w": pc.cast(batch["w"], pa.int64()),
+                "_part2": pa.array(
+                    (_id_hash_u64(ids) % np.uint64(P)).astype(np.int64)
+                ),
+                "_side": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def rewrite_part(part: pd.DataFrame):
+        side = part["_side"].to_numpy()
+        docs = part.iloc[side == 0]
+        if not len(docs):
+            return pa.table(
+                {
+                    id_col: pa.array([], id_type),
+                    out_col: pa.array([], pa.string()),
+                    "n_dropped": pa.array([], pa.int64()),
+                }
+            )
+        hits = part.iloc[side == 1]
+        doc_ids = docs[id_col].to_numpy()
+        texts_col = pa.array(docs[text_col].tolist(), pa.string())
+        codes, doc_idx, counts, uniq = _flat_token_codes(texts_col)
+        starts = np.concatenate(([0], np.cumsum(np.asarray(counts, np.int64))[:-1]))
+        if len(hits):
+            order = np.argsort(doc_ids, kind="stable")
+            j = np.searchsorted(doc_ids[order], hits[id_col].to_numpy())
+            row = order[j]  # every hit's doc co-partitions by construction
+            hit_pos = starts[row] + hits["w"].to_numpy(dtype=np.int64)
+        else:
+            hit_pos = np.zeros(0, dtype=np.int64)
+        texts, n_dropped = _drop_covered_tokens(
+            _flat_tokens_of(codes, uniq), doc_idx, len(docs), hit_pos, n
+        )
+        return pa.table(
+            {
+                id_col: pa.array(doc_ids, id_type),
+                out_col: texts,
+                "n_dropped": pa.array(n_dropped, pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(doc_side, batch_format="pyarrow")
+        .union(hits_ds.map_batches(hit_side, batch_format="pyarrow"))
+        .groupby("_part2")
+        .map_groups(rewrite_part, batch_format="pandas")
     )
 
 

@@ -1238,6 +1238,52 @@ SELECT d.doc_id,
 FROM d LEFT JOIN hits h USING (doc_id)
 """
 
+# dedup_substrings: the ACTION half of cross_doc_grams (ops/curation.
+# dedup_substrings) — rewrite each doc dropping every token covered by an
+# 8-token window whose gram occurs in >= 2 distinct docs; kept tokens
+# re-joined with single spaces (byte-exact; the redact_pii gate pattern).
+# Same gram CTE + 512-token fixture bound as cross_doc_grams (the engine
+# query pins max_tokens=512 so a longer corpus fails loudly).
+ORACLES["dedup_substrings"] = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+ix AS (SELECT i FROM generate_series(1, 512) t(i)),
+g AS (
+  SELECT d.doc_id, ix.i AS i, array_to_string(d.w[ix.i:ix.i+7], ' ') AS gram
+  FROM d JOIN ix ON ix.i <= len(d.w) - 7
+),
+dup AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram
+  ) WHERE df >= 2
+),
+hit AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gram)),
+tok AS (
+  SELECT d.doc_id, ix.i AS j, d.w[ix.i] AS token
+  FROM d JOIN ix ON ix.i <= len(d.w)
+  WHERE d.w[ix.i] <> ''
+),
+cov AS (
+  SELECT DISTINCT t.doc_id, t.j FROM tok t
+  JOIN hit h ON h.doc_id = t.doc_id AND t.j BETWEEN h.i AND h.i + 7
+),
+kept AS (
+  SELECT t.doc_id, t.j, t.token FROM tok t
+  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.j = t.j
+  WHERE c.j IS NULL
+),
+ka AS (
+  SELECT doc_id, string_agg(token, ' ' ORDER BY j) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+ca AS (SELECT doc_id, COUNT(*) AS n_dropped FROM cov GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(ka.clean_text, '') AS clean_text,
+       CAST(COALESCE(ca.n_dropped, 0) AS BIGINT) AS n_dropped
+FROM d LEFT JOIN ka USING (doc_id) LEFT JOIN ca USING (doc_id)
+"""
+
 # chunker_f1: bounded gate for the TRAINED slot-4 NP chunker (same
 # pattern as decontaminate_bloom / the ANN recall gates): the engine
 # trains from the reference's conll2000 zips at the fast budget

