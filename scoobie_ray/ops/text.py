@@ -111,12 +111,18 @@ class LangId:
     def __init__(self, langs: tuple[str, ...] = ("en", "es", "de", "fr")):
         self.langs = langs
         self.profiles = {l: STOPWORDS[l] for l in langs}
-        # one Arrow value_set per language, built once per actor (r5:
-        # vectorized __call__, replacing a per-row Python loop on the
-        # curate hot path — VERDICT r4 item 3)
-        self._sets = [
-            pa.array(sorted(STOPWORDS[l]), pa.string()) for l in langs
-        ]
+        # r5: vectorized __call__ (replacing a per-row Python loop on the
+        # curate hot path — VERDICT r4 item 3): ONE index_in against the
+        # UNION stopword dictionary + a (word, lang) membership-matrix
+        # scatter (a word can belong to several languages, e.g. es/fr
+        # 'la'), built once per actor
+        union = sorted(set().union(*(STOPWORDS[l] for l in langs)))
+        self._union = pa.array(union, pa.string())
+        self._member = np.zeros((len(union), len(langs)), dtype=np.int64)
+        pos = {w: i for i, w in enumerate(union)}
+        for j, l in enumerate(langs):
+            for w in STOPWORDS[l]:
+                self._member[pos[w], j] = 1
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..util import compact_strings
@@ -133,15 +139,16 @@ class LangId:
             lists = lists.combine_chunks()
         rows = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
         toks = pc.list_flatten(lists)
-        keep = pc.not_equal(toks, "").to_numpy(zero_copy_only=False)
-        toks, rows = toks.filter(pa.array(keep)), rows[keep]
-        # per-(row, lang) stopword hits: one is_in + bincount per language
-        votes = np.empty((len(self.langs), n_rows), dtype=np.int64)
-        for i, vs in enumerate(self._sets):
-            hit = pc.is_in(toks, value_set=vs).to_numpy(zero_copy_only=False)
-            votes[i] = np.bincount(rows[hit], minlength=n_rows)
+        # one dictionary lookup for ALL languages ('' never matches, so no
+        # empty-token filter needed), then scatter-add each matched word's
+        # per-language membership row into the doc's vote vector
+        idx = pc.fill_null(pc.index_in(toks, value_set=self._union), -1)
+        idxv = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        valid = idxv >= 0
+        votes = np.zeros((n_rows, len(self.langs)), dtype=np.int64)
+        np.add.at(votes, rows[valid], self._member[idxv[valid]])
         # first max wins == the loop's strict-> update order (langs order)
-        preds = np.asarray(self.langs, dtype=object)[np.argmax(votes, axis=0)]
+        preds = np.asarray(self.langs, dtype=object)[np.argmax(votes, axis=1)]
         return batch.append_column(
             "lang_pred", pa.array(preds.tolist(), pa.string())
         )
