@@ -251,6 +251,33 @@ def _q_dedup_substrings(sf_dir: str):
     return dedup_substrings(ds, n=8, max_tokens=512)
 
 
+def _q_prune_rare_tokens(sf_dir: str):
+    """Vocabulary-tail pruning (new r5): drop tokens with corpus df below
+    n_docs // 10 (scale-relative so the drop path is exercised at every
+    fixture scale); byte-exact vs the SQL rewrite."""
+    import ray.data
+
+    from scoobie_ray.ops.curation import prune_rare_tokens
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return prune_rare_tokens(ds, min_df=ds.count() // 10, max_tokens=512)
+
+
+def _q_remove_tokens(sf_dir: str):
+    """Stop-list token removal (new r5): drop a constant 4-token list
+    (mirrored in the oracle); byte-exact, pure streaming pass."""
+    import ray.data
+
+    from scoobie_ray.ops.curation import remove_tokens
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return remove_tokens(ds, ["the", "a", "data", "join"])
+
+
 def _q_sample_stratified(sf_dir: str):
     """Deterministic per-language sampling: keep 60% of en, 30% of es,
     10% of everything else, chosen by md5_number_upper(doc_id)."""
@@ -1161,8 +1188,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_lineitem_counts": rq.nation_lineitem_counts,
         "events_hourly": rq.events_hourly,
         "events_sessionize": rq.events_sessionize,
-        "top_parts": rq.top_parts,
-        "events_top_users": rq.events_top_users,
         "customer_segments": rq.customer_segments,
         # --- never driver-checked through r3: temporal/graph/sketch tail ---
         "events_top3_by_user": _q_events_top3_by_user,
@@ -1189,6 +1214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window (orders_by_status, supplier_nation_join,
         # distinct_event_types, lineitem_yearly, part_size_histogram) ---
         "dedup_substrings": _q_dedup_substrings,  # new r5 — substring rewrite
+        "prune_rare_tokens": _q_prune_rare_tokens,  # new r5 — vocab-tail prune
+        "remove_tokens": _q_remove_tokens,  # new r5 — stop-list removal
         "langid": _q_langid,  # r5-CHANGED — vectorized LangId
         "curate": _q_curate,  # r5-CHANGED — vectorized langid stage inside
         "doc_tokens": _q_doc_tokens,  # rotated back in (r4 ADVICE: keep
@@ -1252,6 +1279,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": rq.distinct_event_types,
         "lineitem_yearly": rq.lineitem_yearly,
         "part_size_histogram": rq.part_size_histogram,
+        "top_parts": rq.top_parts,
+        "events_top_users": rq.events_top_users,
     }
 
 

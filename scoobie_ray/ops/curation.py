@@ -481,14 +481,25 @@ def _assert_max_tokens(counts: np.ndarray, max_tokens: int | None) -> None:
         )
 
 
-def _dup_gram_ds(ds, n: int, text_col: str, id_col: str, max_tokens: int | None):
-    """The cross-document DUPLICATED-gram hash set, as a materialized
-    Dataset of (g int64) — grams whose document frequency is ≥ 2.  Shared
-    pass 1 of :func:`cross_doc_grams` (measurement) and
-    :func:`dedup_substrings` (rewrite): per-batch DISTINCT
-    (gram_hash, doc) pairs ride ONE ``groupby(gram).sum`` shuffle; the
-    corpus text never moves."""
+def _dup_gram_ds(
+    ds,
+    n: int,
+    text_col: str,
+    id_col: str,
+    max_tokens: int | None,
+    df_pred=None,
+):
+    """Gram hashes selected by a document-frequency predicate, as a
+    materialized Dataset of (g int64).  Default predicate df ≥ 2 = the
+    cross-document DUPLICATED-gram set — shared pass 1 of
+    :func:`cross_doc_grams` (measurement) and :func:`dedup_substrings`
+    (rewrite); :func:`prune_rare_tokens` passes ``df < min_df`` with
+    n=1 instead.  Per-batch DISTINCT (gram_hash, doc) pairs ride ONE
+    ``groupby(gram).sum`` shuffle; the corpus text never moves."""
     from ray.data.aggregate import Sum
+
+    if df_pred is None:
+        df_pred = lambda c: pc.greater_equal(c, 2)  # noqa: E731
 
     def batch_pairs(batch: pa.Table) -> pa.Table:
         """Per-batch distinct (gram hash, doc key) pairs (combiner)."""
@@ -520,7 +531,7 @@ def _dup_gram_ds(ds, n: int, text_col: str, id_col: str, max_tokens: int | None)
         .aggregate(Sum("_one", alias_name="df"))
     )
     return df.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["df"], 2)).select(["g"]),
+        lambda t: t.filter(df_pred(t["df"])).select(["g"]),
         batch_format="pyarrow",
     ).materialize()
 
@@ -763,13 +774,89 @@ def dedup_substrings(
     Output: (id_col, out_col string, n_dropped int64) — one row per input
     document; fully-duplicated docs come back as "".
     """
+    dup = _dup_gram_ds(ds, n, text_col, id_col, max_tokens)
+    return _rewrite_dropping_grams(
+        ds, dup, n, text_col, id_col, broadcast_limit, out_col
+    )
+
+
+def prune_rare_tokens(
+    ds,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_limit: int = 2_000_000,
+    max_tokens: int | None = None,
+    out_col: str = "pruned_text",
+):
+    """Vocabulary pruning: rewrite every document dropping tokens whose
+    corpus document frequency is below ``min_df`` (OOV/typo-tail
+    filtering).  Exactly the :func:`dedup_substrings` machinery with
+    window size 1 and the INVERTED df predicate — and at 100 TB the
+    rare-token set is the VOCABULARY TAIL (typos, URLs, numbers — the
+    overwhelming majority of distinct tokens), so the drop set is
+    inherently NOT broadcastable and the co-partitioned distributed
+    regime is the primary path, not the fallback.
+
+    Output: (id_col, out_col string, n_dropped int64); byte-exact
+    SQL-reproducible (kept tokens re-joined with single spaces)."""
+    drop = _dup_gram_ds(
+        ds, 1, text_col, id_col, max_tokens, df_pred=lambda c: pc.less(c, min_df)
+    )
+    return _rewrite_dropping_grams(
+        ds, drop, 1, text_col, id_col, broadcast_limit, out_col
+    )
+
+
+def remove_tokens(
+    ds,
+    tokens,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "filtered_text",
+):
+    """Stop-list token removal: rewrite every document dropping each token
+    in ``tokens`` (stopword filtering / blocklist scrubbing).  The list is
+    small by construction (a curated set, not corpus-derived), so this is
+    a pure streaming pass — exact Arrow ``is_in`` string membership (no
+    hashing), the list rebuild kernel of :func:`dedup_substrings`, no
+    shuffle at all.  Output: (id_col, out_col string, n_dropped int64);
+    byte-exact SQL-reproducible."""
+    vs = pa.array(sorted(set(tokens)), pa.string())
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        flat, doc_idx, _counts = _split_flat(batch[text_col])
+        hit = pc.is_in(flat, value_set=vs).to_numpy(zero_copy_only=False)
+        texts, n_dropped = _drop_covered_tokens(
+            flat, doc_idx, batch.num_rows, np.flatnonzero(hit), 1
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                out_col: texts,
+                "n_dropped": pa.array(n_dropped, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        rewrite, batch_format="pyarrow"
+    )
+
+
+def _rewrite_dropping_grams(
+    ds, dup, n: int, text_col: str, id_col: str, broadcast_limit: int, out_col: str
+):
+    """Shared rewrite pass: drop every token covered by an n-token window
+    whose gram hash is in ``dup`` (a materialized Dataset of (g int64)).
+    Broadcast searchsorted below ``broadcast_limit``, else gram-hash
+    co-partitioned membership + ONE doc-keyed shuffle routing hit
+    positions back to their documents."""
     import pandas as pd
     import ray
 
     from scoobie_ray.ops.dedup import _shuffle_parallelism
 
     P = _shuffle_parallelism()
-    dup = _dup_gram_ds(ds, n, text_col, id_col, max_tokens)
     n_dup = dup.count()
 
     def _flat_tokens_of(codes: np.ndarray, uniq: pa.Array) -> pa.Array:

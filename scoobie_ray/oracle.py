@@ -1284,6 +1284,65 @@ SELECT d.doc_id,
 FROM d LEFT JOIN ka USING (doc_id) LEFT JOIN ca USING (doc_id)
 """
 
+# prune_rare_tokens: vocabulary-tail pruning (ops/curation.
+# prune_rare_tokens) — drop tokens with corpus document frequency below
+# n_docs // 10 (scale-relative so the drop path is exercised at every
+# fixture scale).  Same rewrite semantics + 512-token bound as
+# dedup_substrings; byte-exact.
+ORACLES["prune_rare_tokens"] = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+ix AS (SELECT i FROM generate_series(1, 512) t(i)),
+thr AS (SELECT COUNT(*) // 10 AS min_df FROM documents),
+tok AS (
+  SELECT d.doc_id, ix.i AS j, d.w[ix.i] AS token
+  FROM d JOIN ix ON ix.i <= len(d.w) WHERE d.w[ix.i] <> ''
+),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+kept AS (
+  SELECT t.doc_id, t.j, t.token FROM tok t JOIN df USING (token), thr
+  WHERE df.df >= thr.min_df
+),
+ka AS (
+  SELECT doc_id, string_agg(token, ' ' ORDER BY j) AS pruned_text
+  FROM kept GROUP BY doc_id
+),
+ca AS (
+  SELECT t.doc_id, COUNT(*) AS n FROM tok t JOIN df USING (token), thr
+  WHERE df.df < thr.min_df GROUP BY t.doc_id
+)
+SELECT d.doc_id, COALESCE(ka.pruned_text, '') AS pruned_text,
+       CAST(COALESCE(ca.n, 0) AS BIGINT) AS n_dropped
+FROM d LEFT JOIN ka USING (doc_id) LEFT JOIN ca USING (doc_id)
+"""
+
+# remove_tokens: stop-list removal (ops/curation.remove_tokens) — the
+# broadcast-small-side companion to prune_rare_tokens; the constant list
+# mirrors the engine query.  Byte-exact.
+ORACLES["remove_tokens"] = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+ix AS (SELECT i FROM generate_series(1, 512) t(i)),
+tok AS (
+  SELECT d.doc_id, ix.i AS j, d.w[ix.i] AS token
+  FROM d JOIN ix ON ix.i <= len(d.w) WHERE d.w[ix.i] <> ''
+),
+kept AS (SELECT * FROM tok WHERE token NOT IN ('a', 'data', 'join', 'the')),
+ka AS (
+  SELECT doc_id, string_agg(token, ' ' ORDER BY j) AS filtered_text
+  FROM kept GROUP BY doc_id
+),
+ca AS (
+  SELECT doc_id, COUNT(*) AS n FROM tok
+  WHERE token IN ('a', 'data', 'join', 'the') GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(ka.filtered_text, '') AS filtered_text,
+       CAST(COALESCE(ca.n, 0) AS BIGINT) AS n_dropped
+FROM d LEFT JOIN ka USING (doc_id) LEFT JOIN ca USING (doc_id)
+"""
+
 # chunker_f1: bounded gate for the TRAINED slot-4 NP chunker (same
 # pattern as decontaminate_bloom / the ANN recall gates): the engine
 # trains from the reference's conll2000 zips at the fast budget

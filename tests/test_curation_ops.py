@@ -439,6 +439,66 @@ def test_dedup_substrings_hand_computed(ray_session):
         assert got.values.tolist() == want, (limit, got.values.tolist())
 
 
+def test_prune_rare_tokens_hand_computed(ray_session):
+    """Tokens with corpus document frequency below min_df are dropped;
+    kept tokens re-join with single spaces; the forced distributed regime
+    (broadcast_limit=0) matches — and it is the PRIMARY path at scale
+    (the rare set is the vocabulary tail, never a small side)."""
+    import pyarrow as pa
+    import ray.data
+
+    from scoobie_ray.ops.curation import prune_rare_tokens
+
+    # df: a=3, b=2, c=1, d=1 -> min_df=2 drops c and d
+    texts = ["a b c", "a b", "a d"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    want = [[0, "a b", 1], [1, "a b", 0], [2, "a", 1]]
+    for limit in (2_000_000, 0):
+        ds = ray.data.from_arrow(t).repartition(2)
+        got = (
+            prune_rare_tokens(ds, min_df=2, broadcast_limit=limit)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got.values.tolist() == want, (limit, got.values.tolist())
+
+
+def test_remove_tokens_hand_computed(ray_session):
+    """Stop-list removal drops exact token matches only (no substrings),
+    preserves order, and empties fully-stopworded docs."""
+    import pyarrow as pa
+    import ray.data
+
+    from scoobie_ray.ops.curation import remove_tokens
+
+    texts = ["the cat the mat", "thethe cats", "the the", ""]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    got = (
+        remove_tokens(ds, ["the"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == [
+        [0, "cat mat", 2],
+        [1, "thethe cats", 0],
+        [2, "", 2],
+        [3, "", 0],
+    ], got.values.tolist()
+
+
 def test_cross_doc_grams_max_tokens_guard(ray_session):
     """A document longer than max_tokens fails LOUDLY (the SQL oracle's
     constant generate_series bound would silently under-count past it);
