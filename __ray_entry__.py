@@ -251,6 +251,27 @@ def _q_dedup_substrings(sf_dir: str):
     return dedup_substrings(ds, n=8, max_tokens=512)
 
 
+def _q_decontaminate_rewrite(sf_dir: str):
+    """Surgical benchmark decontamination (new r5): drop tokens covered
+    by a window sharing an 8-gram with the doc_id%37 benchmark slice;
+    byte-exact vs the SQL rewrite."""
+    import pyarrow as pa
+    import ray.data
+
+    from scoobie_ray.ops.curation import decontaminate_rewrite
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _slice(b):
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 37 == 0))
+
+    bench = docs.map_batches(_slice, batch_format="pyarrow")
+    return decontaminate_rewrite(docs, bench, n=8, max_tokens=512)
+
+
 def _q_prune_rare_tokens(sf_dir: str):
     """Vocabulary-tail pruning (new r5): drop tokens with corpus df below
     n_docs // 10 (scale-relative so the drop path is exercised at every
@@ -1188,7 +1209,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_lineitem_counts": rq.nation_lineitem_counts,
         "events_hourly": rq.events_hourly,
         "events_sessionize": rq.events_sessionize,
-        "customer_segments": rq.customer_segments,
         # --- never driver-checked through r3: temporal/graph/sketch tail ---
         "events_top3_by_user": _q_events_top3_by_user,
         "graph_components": _q_graph_components,
@@ -1216,6 +1236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substrings": _q_dedup_substrings,  # new r5 — substring rewrite
         "prune_rare_tokens": _q_prune_rare_tokens,  # new r5 — vocab-tail prune
         "remove_tokens": _q_remove_tokens,  # new r5 — stop-list removal
+        "decontaminate_rewrite": _q_decontaminate_rewrite,  # new r5 — scrub
         "langid": _q_langid,  # r5-CHANGED — vectorized LangId
         "curate": _q_curate,  # r5-CHANGED — vectorized langid stage inside
         "doc_tokens": _q_doc_tokens,  # rotated back in (r4 ADVICE: keep
@@ -1281,6 +1302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_size_histogram": rq.part_size_histogram,
         "top_parts": rq.top_parts,
         "events_top_users": rq.events_top_users,
+        "customer_segments": rq.customer_segments,
     }
 
 

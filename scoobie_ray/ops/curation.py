@@ -843,8 +843,49 @@ def remove_tokens(
     )
 
 
+def decontaminate_rewrite(
+    ds,
+    bench_ds,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_limit: int = 2_000_000,
+    max_tokens: int | None = None,
+    out_col: str = "clean_text",
+):
+    """The ACTION half of :func:`decontaminate`: rewrite every corpus
+    document dropping each token covered by an n-token window whose gram
+    appears in the benchmark set (instead of merely flagging the doc —
+    surgical removal keeps the rest of a lightly-contaminated document).
+
+    The benchmark is the SMALL side by construction (an eval suite, not
+    the corpus): its distinct gram hashes are collected driver-side
+    (:func:`benchmark_gram_hashes`, same tokenize→hash→window chain as
+    the corpus pass) and dropped via the shared rewrite kernel — one
+    streaming pass in the broadcast regime; the co-partitioned regime
+    still engages above ``broadcast_limit``.  Output: (id_col, out_col
+    string, n_dropped int64); byte-exact SQL-reproducible."""
+    import ray.data
+
+    hashes = benchmark_gram_hashes(bench_ds, n, text_col)
+    drop = ray.data.from_arrow(
+        pa.table({"g": pa.array(hashes.view(np.int64), pa.int64())})
+    )
+    return _rewrite_dropping_grams(
+        ds, drop, n, text_col, id_col, broadcast_limit, out_col,
+        max_tokens=max_tokens,
+    )
+
+
 def _rewrite_dropping_grams(
-    ds, dup, n: int, text_col: str, id_col: str, broadcast_limit: int, out_col: str
+    ds,
+    dup,
+    n: int,
+    text_col: str,
+    id_col: str,
+    broadcast_limit: int,
+    out_col: str,
+    max_tokens: int | None = None,
 ):
     """Shared rewrite pass: drop every token covered by an n-token window
     whose gram hash is in ``dup`` (a materialized Dataset of (g int64)).
@@ -882,6 +923,7 @@ def _rewrite_dropping_grams(
         def rewrite(batch: pa.Table) -> pa.Table:
             dup_h = ray.get(dup_ref)
             codes, doc_idx, counts, uniq = _flat_token_codes(batch[text_col])
+            _assert_max_tokens(counts, max_tokens)
             flat_h = _unique_token_hashes(uniq)[codes]
             g, _gram_doc, _m = _window_gram_hashes(flat_h, counts, n)
             _, pos, _ = _window_positions(counts, n)
@@ -917,6 +959,7 @@ def _rewrite_dropping_grams(
 
     def window_rows(batch: pa.Table) -> pa.Table:
         codes, _doc_idx, counts, uniq = _flat_token_codes(batch[text_col])
+        _assert_max_tokens(counts, max_tokens)
         flat_h = _unique_token_hashes(uniq)[codes]
         g, gram_doc, _m = _window_gram_hashes(flat_h, counts, n)
         _, pos, _ = _window_positions(counts, n)

@@ -1284,6 +1284,43 @@ SELECT d.doc_id,
 FROM d LEFT JOIN ka USING (doc_id) LEFT JOIN ca USING (doc_id)
 """
 
+# decontaminate_rewrite: the ACTION half of decontaminate (ops/curation.
+# decontaminate_rewrite) — surgically drop tokens covered by an 8-token
+# window whose gram appears in the benchmark slice (doc_id % 37 = 0, the
+# decontaminate oracle's benchmark derivation); byte-exact rewrite.
+ORACLES["decontaminate_rewrite"] = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+ix AS (SELECT i FROM generate_series(1, 512) t(i)),
+g AS (
+  SELECT d.doc_id, ix.i AS i, array_to_string(d.w[ix.i:ix.i+7], ' ') AS gram
+  FROM d JOIN ix ON ix.i <= len(d.w) - 7
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0),
+hit AS (SELECT g.doc_id, g.i FROM g JOIN bench USING (gram)),
+tok AS (
+  SELECT d.doc_id, ix.i AS j, d.w[ix.i] AS token
+  FROM d JOIN ix ON ix.i <= len(d.w) WHERE d.w[ix.i] <> ''
+),
+cov AS (
+  SELECT DISTINCT t.doc_id, t.j FROM tok t
+  JOIN hit h ON h.doc_id = t.doc_id AND t.j BETWEEN h.i AND h.i + 7
+),
+kept AS (
+  SELECT t.doc_id, t.j, t.token FROM tok t
+  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.j = t.j WHERE c.j IS NULL
+),
+ka AS (
+  SELECT doc_id, string_agg(token, ' ' ORDER BY j) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+ca AS (SELECT doc_id, COUNT(*) AS n FROM cov GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(ka.clean_text, '') AS clean_text,
+       CAST(COALESCE(ca.n, 0) AS BIGINT) AS n_dropped
+FROM d LEFT JOIN ka USING (doc_id) LEFT JOIN ca USING (doc_id)
+"""
+
 # prune_rare_tokens: vocabulary-tail pruning (ops/curation.
 # prune_rare_tokens) — drop tokens with corpus document frequency below
 # n_docs // 10 (scale-relative so the drop path is exercised at every

@@ -499,6 +499,45 @@ def test_remove_tokens_hand_computed(ray_session):
     ], got.values.tolist()
 
 
+def test_decontaminate_rewrite_hand_computed(ray_session):
+    """Tokens covered by a window sharing a gram with the benchmark are
+    dropped; clean docs pass through byte-identical; benchmark docs
+    themselves are fully scrubbed (every window is in the set)."""
+    import pyarrow as pa
+    import ray.data
+
+    from scoobie_ray.ops.curation import decontaminate_rewrite
+
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                ["p q r s", "x p q y", "a b c"], pa.string()
+            ),
+        }
+    )
+    bench = pa.table(
+        {"doc_id": pa.array([9], pa.int64()), "text": pa.array(["p q"], pa.string())}
+    )
+    got = (
+        decontaminate_rewrite(
+            ray.data.from_arrow(corpus).repartition(2),
+            ray.data.from_arrow(bench),
+            n=2,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc0 windows: "p q","q r","r s"; "p q" in bench -> drops p,q -> "r s"
+    # doc1: "x p","p q","q y"; drops p,q -> "x y";  doc2 untouched
+    assert got.values.tolist() == [
+        [0, "r s", 2],
+        [1, "x y", 2],
+        [2, "a b c", 0],
+    ], got.values.tolist()
+
+
 def test_cross_doc_grams_max_tokens_guard(ray_session):
     """A document longer than max_tokens fails LOUDLY (the SQL oracle's
     constant generate_series bound would silently under-count past it);
