@@ -222,6 +222,20 @@ def _q_lang_top_tokens(sf_dir: str):
     return lang_top_tokens(docs, 3)
 
 
+def _q_lang_vocab_distinct(sf_dir: str):
+    """Per-language exact distinct-token counts (new r5): token-hash
+    partitioned pair dedup + per-group partials; the grouped companion
+    to vocab_distinct."""
+    import ray.data
+
+    from scoobie_ray.ops.sketch import grouped_distinct_tokens
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    return grouped_distinct_tokens(docs)
+
+
 def _q_cross_doc_grams(sf_dir: str):
     """Cross-document duplicated 8-gram statistics over documents
     (substring-dedup measurement; broadcast regime at this scale).
@@ -1208,7 +1222,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing": rq.q1_pricing,
         "nation_lineitem_counts": rq.nation_lineitem_counts,
         "events_hourly": rq.events_hourly,
-        "events_sessionize": rq.events_sessionize,
         # --- never driver-checked through r3: temporal/graph/sketch tail ---
         "events_top3_by_user": _q_events_top3_by_user,
         "graph_components": _q_graph_components,
@@ -1237,6 +1250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prune_rare_tokens": _q_prune_rare_tokens,  # new r5 — vocab-tail prune
         "remove_tokens": _q_remove_tokens,  # new r5 — stop-list removal
         "decontaminate_rewrite": _q_decontaminate_rewrite,  # new r5 — scrub
+        "lang_vocab_distinct": _q_lang_vocab_distinct,  # new r5 — grouped distinct
         "langid": _q_langid,  # r5-CHANGED — vectorized LangId
         "curate": _q_curate,  # r5-CHANGED — vectorized langid stage inside
         "doc_tokens": _q_doc_tokens,  # rotated back in (r4 ADVICE: keep
@@ -1303,6 +1317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts": rq.top_parts,
         "events_top_users": rq.events_top_users,
         "customer_segments": rq.customer_segments,
+        "events_sessionize": rq.events_sessionize,
     }
 
 

@@ -710,6 +710,84 @@ def type_token_counts(ds, id_col: str = "doc_id", col: str = "text"):
     return ds.map_batches(local, batch_format="pyarrow")
 
 
+def grouped_distinct_tokens(ds, group_col: str = "lang", col: str = "text"):
+    """Per-group EXACT distinct-token counts: Dataset of (group_col,
+    n_distinct int64) — the grouped companion to :func:`hll_distinct` /
+    the ``vocab_distinct`` gate (e.g. per-language vocabulary sizes).
+
+    Scale shape: per-batch distinct (group, token) pairs (Arrow group-by
+    combiner) tagged with a TOKEN-hash partition, so every copy of a
+    (group, token) pair co-locates; each partition drops duplicate pairs
+    exactly and emits per-group partial counts (≤ groups rows per
+    partition), and one tiny ``groupby(group).sum`` shuffle finishes.
+    The vocabulary never leaves the workers; no driver materialization."""
+    import pandas as pd
+
+    from .dedup import _shuffle_parallelism
+
+    P = _shuffle_parallelism()
+
+    def local(batch: pa.Table) -> pa.Table:
+        from ..util import compact_strings, hash_string_array_u64
+
+        lists = pc.utf8_split_whitespace(compact_strings(batch[col]))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        rows = pc.list_parent_indices(lists)
+        toks = pc.list_flatten(lists)
+        keep = pc.not_equal(toks, "")
+        grp = batch[group_col].take(rows.filter(keep))
+        t = pa.table({"g": grp, "token": toks.filter(keep)})
+        agg = t.group_by(["g", "token"]).aggregate([])  # distinct pairs
+        tok = agg["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        part = (hash_string_array_u64(tok) % np.uint64(P)).astype(np.int64)
+        return pa.table(
+            {
+                "g": agg["g"],
+                "token": agg["token"],
+                "_part": pa.array(part, pa.int64()),
+            }
+        )
+
+    def part_counts(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame(
+                {"g": part["g"].iloc[:0], "n": pd.Series(dtype="int64")}
+            )
+        # exact global dedup of (g, token) pairs within this token
+        # partition, then per-group partial counts
+        agg = (
+            pa.Table.from_pandas(part[["g", "token"]], preserve_index=False)
+            .group_by(["g", "token"])
+            .aggregate([])
+            .group_by(["g"])
+            .aggregate([([], "count_all")])
+        )
+        return pd.DataFrame(
+            {
+                "g": agg["g"].to_pylist(),
+                "n": agg["count_all"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.select_columns([group_col, col])
+        .map_batches(local, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(part_counts, batch_format="pandas")
+        .groupby("g")
+        .sum("n")
+        .map_batches(
+            lambda t: pa.table(
+                {group_col: t["g"], "n_distinct": pc.cast(t["sum(n)"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def _grouped_topk_cut(pdf, k: int, g_col="g", n_col="n", tok_col="token"):
     """Per-group (n desc, token asc) top-k over a pandas frame, via ONE
     comparison-based sort + run-length ranks — no pandas hash-groupby

@@ -1661,6 +1661,17 @@ SELECT lang, q_pct, val FROM (
 )
 """
 
+# Per-group exact distinct-token counts (ops/sketch.
+# grouped_distinct_tokens) — token-hash-partitioned pair dedup, per-group
+# partials, one tiny groupby(group).sum; the grouped companion to
+# vocab_distinct.
+ORACLES["lang_vocab_distinct"] = r"""
+SELECT lang, CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct
+FROM (SELECT lang, unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY lang
+"""
+
 # Exact distinct tokens; the engine side ALSO runs its deterministic
 # p=14 splitmix64 HyperLogLog and asserts the estimate lands within 2%
 # (the TRUE constant here makes the bounded gate hash-checkable, the
