@@ -66,7 +66,16 @@ def curate(
         return batch.filter(keep_lang).drop_columns(["lang_pred"])
 
     filtered = ds.map_batches(keep, batch_format="pyarrow")
-    survivors = exact_dedup(filtered, text_col=text_col, id_col=id_col)
+    # PIN the exact-dedup output: minhash consumes its input three times
+    # (signature, verify and final-filter passes), and an un-materialized
+    # lineage would re-run read→filter→exact-sort for each (measured 3×
+    # execution in ds.stats(), ~2 s of the composed wall at sf0.1).  The
+    # exact-dedup sort is an all-to-all barrier whose blocks already sit
+    # in the object store, so materializing here adds no peak memory —
+    # it just keeps the result instead of recomputing it; at 100 TB the
+    # object store spills these blocks to disk, still far cheaper than
+    # two extra full filter+shuffle passes.
+    survivors = exact_dedup(filtered, text_col=text_col, id_col=id_col).materialize()
     return minhash_dedup(
         survivors,
         threshold=minhash_threshold,
