@@ -254,11 +254,16 @@ def run_bench() -> dict:
     docs_ds = ray.data.read_parquet(
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
     )
-    t0 = time.time()
-    decontaminate(
-        docs_ds, docs_ds.map_batches(_bench_slice, batch_format="pyarrow"), n=8
-    ).count()
-    queries["decontaminate"] = round(time.time() - t0, 3)
+    # best-of-2 like dedup_minhash: the first run pays one-time worker
+    # startup for its actor stage; the second measures the operator
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        decontaminate(
+            docs_ds, docs_ds.map_batches(_bench_slice, batch_format="pyarrow"), n=8
+        ).count()
+        best = min(best, time.time() - t0)
+    queries["decontaminate"] = round(best, 3)
 
     t0 = time.time()
     pack_sequences(docs_ds, budget=256).count()
