@@ -236,6 +236,38 @@ def _q_lang_vocab_distinct(sf_dir: str):
     return grouped_distinct_tokens(docs)
 
 
+def _q_lang_vocab_hll(sf_dir: str):
+    """Per-language distinct tokens, exact + grouped-HLL bounded gate
+    (new r5): the engine computes the exact counts AND its mergeable
+    per-group HLL sketch, asserting the estimate lands within 2% — the
+    vocab_distinct pattern, grouped."""
+    import pyarrow as pa
+    import ray.data
+
+    from scoobie_ray.ops.sketch import grouped_distinct_tokens, grouped_hll_distinct
+
+    def load():
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+        )
+
+    exact = grouped_distinct_tokens(load()).to_pandas().sort_values("lang")
+    est = grouped_hll_distinct(load(), "lang")
+    ok = [
+        abs(est[l] - n) / max(n, 1) <= 0.02
+        for l, n in zip(exact["lang"], exact["n_distinct"])
+    ]
+    return pa.table(
+        {
+            "lang": pa.array(exact["lang"].tolist(), pa.string()),
+            "n_distinct": pa.array(
+                exact["n_distinct"].to_numpy(), pa.int64()
+            ),
+            "hll_within_2pct": pa.array(ok, pa.bool_()),
+        }
+    )
+
+
 def _q_cross_doc_grams(sf_dir: str):
     """Cross-document duplicated 8-gram statistics over documents
     (substring-dedup measurement; broadcast regime at this scale).
@@ -1223,7 +1255,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_lineitem_counts": rq.nation_lineitem_counts,
         "events_hourly": rq.events_hourly,
         # --- never driver-checked through r3: temporal/graph/sketch tail ---
-        "events_top3_by_user": _q_events_top3_by_user,
         "graph_components": _q_graph_components,
         "events_pivot": _q_events_pivot,
         "top_tokens": _q_top_tokens,
@@ -1251,6 +1282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_tokens": _q_remove_tokens,  # new r5 — stop-list removal
         "decontaminate_rewrite": _q_decontaminate_rewrite,  # new r5 — scrub
         "lang_vocab_distinct": _q_lang_vocab_distinct,  # new r5 — grouped distinct
+        "lang_vocab_hll": _q_lang_vocab_hll,  # new r5 — grouped mergeable HLL gate
         "langid": _q_langid,  # r5-CHANGED — vectorized LangId
         "curate": _q_curate,  # r5-CHANGED — vectorized langid stage inside
         "doc_tokens": _q_doc_tokens,  # rotated back in (r4 ADVICE: keep
@@ -1318,6 +1350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users": rq.events_top_users,
         "customer_segments": rq.customer_segments,
         "events_sessionize": rq.events_sessionize,
+        "events_top3_by_user": _q_events_top3_by_user,
     }
 
 

@@ -234,6 +234,76 @@ def hll_registers_ds(ds, col: str = "text", *, tokens: bool = True):
     )
 
 
+def grouped_hll_registers_ds(ds, group_col: str, col: str = "text"):
+    """Per-group HLL sketches: a Dataset of (group, register, rank) rows —
+    the MERGEABLE per-domain distinct-count summary (e.g. per-language /
+    per-source vocabulary sizes over a 100-TB corpus: groups × ≤16k rows
+    ride the ONE ``groupby.max`` shuffle, never the tokens).  Same
+    deterministic splitmix64 hashing as :func:`hll_registers_ds`, so
+    shard merges are exact and the estimate matches the single-pass
+    sketch bit for bit."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        from scoobie_ray.util import hash_string_array_u64
+
+        from ..util import compact_strings
+
+        lists = pc.utf8_split_whitespace(compact_strings(batch[col]))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        rows = pc.list_parent_indices(lists)
+        toks = pc.list_flatten(lists)
+        keep = pc.not_equal(toks, "")
+        grp = batch[group_col].take(rows.filter(keep))
+        t = pa.table({"g": grp, "token": toks.filter(keep)})
+        pairs = t.group_by(["g", "token"]).aggregate([])  # distinct pairs
+        tok = pairs["token"]
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        h = hash_string_array_u64(tok)
+        reg, rank = _hll_registers(_splitmix64(h))
+        out = pa.table(
+            {
+                "g": pairs["g"],
+                "register": pa.array(reg, pa.int64()),
+                "rank": pa.array(rank, pa.int64()),
+            }
+        )
+        # batch-local (group, register) max before the shuffle (combiner)
+        agg = out.group_by(["g", "register"]).aggregate([("rank", "max")])
+        return pa.table(
+            {"g": agg["g"], "register": agg["register"], "rank": agg["rank_max"]}
+        )
+
+    return (
+        ds.select_columns([group_col, col])
+        .map_batches(local, batch_format="pyarrow")
+        .groupby(["g", "register"])
+        .max("rank")
+        .map_batches(
+            lambda t: t.rename_columns([group_col, "register", "rank"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def grouped_hll_distinct(ds, group_col: str, col: str = "text") -> dict:
+    """Per-group distinct-token estimates from the grouped sketch:
+    {group: estimate}.  The fold is over groups × ≤16k register rows."""
+    regs = grouped_hll_registers_ds(ds, group_col, col).to_pandas()
+    out: dict = {}
+    for g, sub in regs.groupby(group_col, sort=True):
+        M = np.zeros(_HLL_M, dtype=np.float64)
+        M[sub["register"].to_numpy()] = sub["rank"].to_numpy()
+        alpha = 0.7213 / (1 + 1.079 / _HLL_M)
+        est = alpha * _HLL_M * _HLL_M / np.sum(np.exp2(-M))
+        zeros = int(np.sum(M == 0))
+        if est <= 2.5 * _HLL_M and zeros:
+            est = _HLL_M * np.log(_HLL_M / zeros)
+        out[g] = float(est)
+    return out
+
+
 def hll_merge(*sketches):
     """Merge HLL sketches (Datasets of (register, rank)) — union + max.
     Exact: merging shard sketches == sketching the concatenated corpus."""

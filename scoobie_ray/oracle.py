@@ -1672,6 +1672,18 @@ WHERE token <> ''
 GROUP BY lang
 """
 
+# Grouped bounded gate: exact per-language distinct counts + TRUE
+# constants asserting the engine's mergeable per-group HLL lands within
+# 2% (the vocab_distinct pattern, grouped — ops/sketch.
+# grouped_hll_registers_ds / grouped_hll_distinct).
+ORACLES["lang_vocab_hll"] = r"""
+SELECT lang, CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct,
+       TRUE AS hll_within_2pct
+FROM (SELECT lang, unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY lang
+"""
+
 # Exact distinct tokens; the engine side ALSO runs its deterministic
 # p=14 splitmix64 HyperLogLog and asserts the estimate lands within 2%
 # (the TRUE constant here makes the bounded gate hash-checkable, the

@@ -263,6 +263,57 @@ def test_tfidf_top_semantics(ray_session):
         ], got
 
 
+def test_grouped_hll_merge_exact_and_bounded(ray_session):
+    """Per-group HLL: merging shard sketches (union + groupby max) is
+    bit-identical to sketching the whole corpus, and the estimate lands
+    within 2% of the exact per-group distinct counts."""
+    import ray.data
+
+    from scoobie_ray.ops.sketch import (
+        grouped_distinct_tokens,
+        grouped_hll_distinct,
+        grouped_hll_registers_ds,
+    )
+
+    t = pa.table(
+        {
+            "lang": pa.array(
+                ["en"] * 3 + ["de"] * 2, pa.string()
+            ),
+            "text": pa.array(
+                ["a b c d", "c d e", "f", "x y", "y z w"], pa.string()
+            ),
+        }
+    )
+    whole = ray.data.from_arrow(t)
+    shard1 = ray.data.from_arrow(t.slice(0, 2))
+    shard2 = ray.data.from_arrow(t.slice(2))
+    one = (
+        grouped_hll_registers_ds(whole, "lang")
+        .to_pandas()
+        .sort_values(["lang", "register"])
+        .reset_index(drop=True)
+    )
+    merged = (
+        grouped_hll_registers_ds(shard1, "lang")
+        .union(grouped_hll_registers_ds(shard2, "lang"))
+        .groupby(["lang", "register"])
+        .max("rank")
+        .to_pandas()
+    )
+    merged.columns = ["lang", "register", "rank"]
+    merged = merged.sort_values(["lang", "register"]).reset_index(drop=True)
+    assert merged.equals(one), (merged, one)
+
+    est = grouped_hll_distinct(whole, "lang")
+    exact = dict(
+        zip(*grouped_distinct_tokens(whole, "lang").to_pandas().values.T.tolist())
+    )
+    assert exact == {"de": 4, "en": 6}, exact
+    for g, n in exact.items():
+        assert abs(est[g] - n) / n <= 0.02, (g, est[g], n)
+
+
 def test_tfidf_top_forced_distributed(ray_session):
     """broadcast_limit=0 forces the co-partitioned df-join regime (the
     cross_doc_grams pattern); it must agree with the broadcast regime
