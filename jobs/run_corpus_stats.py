@@ -8,10 +8,14 @@
 - ``summary.json`` — top-k tokens, char-length discrete quantiles
   (DuckDB quantile_disc index semantics) and the distinct-token count:
   exact plus the deterministic p=14 HyperLogLog estimate (reported with
-  its relative error so drift is visible in job logs).
+  its relative error so drift is visible in job logs);
+- with ``--group-col`` (e.g. ``lang``): per-group top-k tokens,
+  per-group exact distinct counts and the mergeable per-group HLL
+  estimates ride the summary too.
 
 Same operators the driver's top_tokens / len_quantiles / vocab_distinct
-oracle gates check (ops/sketch.py).
+/ lang_top_tokens / lang_vocab_distinct / lang_vocab_hll oracle gates
+check (ops/sketch.py).
 """
 
 from __future__ import annotations
@@ -39,6 +43,12 @@ def main(argv=None) -> int:
         help="comma-separated char-length quantiles",
     )
     ap.add_argument("--num-cpus", type=int, default=0, help="only for local runs")
+    ap.add_argument(
+        "--group-col",
+        default="",
+        help="optional group column (e.g. lang): adds per-group top-k, "
+        "exact distinct counts and mergeable HLL estimates",
+    )
     args = ap.parse_args(argv)
 
     import ray
@@ -61,7 +71,8 @@ def main(argv=None) -> int:
 
     qs = [float(q) for q in args.quantiles.split(",") if q]
     t0 = time.time()
-    ds = ray.data.read_parquet(args.docs, columns=[args.text_col])
+    cols = [args.text_col] + ([args.group_col] if args.group_col else [])
+    ds = ray.data.read_parquet(args.docs, columns=cols)
 
     counts = token_counts(ds, args.text_col)
     counts.write_parquet(os.path.join(args.out, "token_counts"))
@@ -85,6 +96,31 @@ def main(argv=None) -> int:
         "hll_rel_err_pct": round(100 * abs(est - n_distinct) / max(n_distinct, 1), 3),
         "wall_sec": round(time.time() - t0, 3),
     }
+    if args.group_col:
+        from scoobie_ray.ops.sketch import (
+            grouped_distinct_tokens,
+            grouped_hll_distinct,
+            lang_top_tokens,
+        )
+
+        g_top = lang_top_tokens(
+            ds, args.top_k, group_col=args.group_col, col=args.text_col
+        ).to_pandas()
+        g_exact = grouped_distinct_tokens(
+            ds, group_col=args.group_col, col=args.text_col
+        ).to_pandas()
+        g_est = grouped_hll_distinct(ds, args.group_col, args.text_col)
+        summary["grouped"] = {
+            "top_tokens": {
+                str(g): sub[["token", "n"]].values.tolist()
+                for g, sub in g_top.groupby(args.group_col, sort=True)
+            },
+            "n_distinct_tokens": {
+                str(r[0]): int(r[1]) for r in g_exact.values.tolist()
+            },
+            "hll_estimates": {str(g): round(v, 1) for g, v in sorted(g_est.items())},
+        }
+        summary["wall_sec"] = round(time.time() - t0, 3)
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))
