@@ -297,6 +297,20 @@ def _q_dedup_substrings(sf_dir: str):
     return dedup_substrings(ds, n=8, max_tokens=512)
 
 
+def _q_chunk_docs(sf_dir: str):
+    """Fixed-token-window document chunking with overlap (new r5):
+    size 64, stride 48 — the context-window preprocessing pass;
+    row-local, zero shuffles, byte-exact vs the SQL slicing."""
+    import ray.data
+
+    from scoobie_ray.ops.curation import chunk_documents
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_documents(ds, size=64, stride=48, max_tokens=512)
+
+
 def _q_decontaminate_rewrite(sf_dir: str):
     """Surgical benchmark decontamination (new r5): drop tokens covered
     by a window sharing an 8-gram with the doc_id%37 benchmark slice;
@@ -1255,7 +1269,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_lineitem_counts": rq.nation_lineitem_counts,
         "events_hourly": rq.events_hourly,
         # --- never driver-checked through r3: temporal/graph/sketch tail ---
-        "graph_components": _q_graph_components,
         "events_pivot": _q_events_pivot,
         "top_tokens": _q_top_tokens,
         "len_quantiles": _q_len_quantiles,
@@ -1281,6 +1294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prune_rare_tokens": _q_prune_rare_tokens,  # new r5 — vocab-tail prune
         "remove_tokens": _q_remove_tokens,  # new r5 — stop-list removal
         "decontaminate_rewrite": _q_decontaminate_rewrite,  # new r5 — scrub
+        "chunk_docs": _q_chunk_docs,  # new r5 — context-window chunking
         "lang_vocab_distinct": _q_lang_vocab_distinct,  # new r5 — grouped distinct
         "lang_vocab_hll": _q_lang_vocab_hll,  # new r5 — grouped mergeable HLL gate
         "langid": _q_langid,  # r5-CHANGED — vectorized LangId
@@ -1351,6 +1365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_segments": rq.customer_segments,
         "events_sessionize": rq.events_sessionize,
         "events_top3_by_user": _q_events_top3_by_user,
+        "graph_components": _q_graph_components,
     }
 
 

@@ -808,6 +808,77 @@ def prune_rare_tokens(
     )
 
 
+def chunk_documents(
+    ds,
+    size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int | None = None,
+):
+    """Split every document into fixed-token-window chunks with overlap
+    (`stride < size` overlaps consecutive chunks — the standard
+    context-window preprocessing for pretraining/RAG): chunk k covers
+    tokens ``[k·stride, min(k·stride+size, T))`` for every ``k·stride <
+    T``; trailing chunks may be short; empty docs emit no chunk.
+
+    Entirely ROW-LOCAL (one document per row), so this is a pure
+    streaming ``map_batches`` pass with zero shuffles at any scale; the
+    overlapping gather, offsets and re-join are numpy/Arrow kernels.
+    Output: (id_col, chunk_idx int64, chunk_text string, n_tokens int64);
+    byte-exact SQL-reproducible (kept tokens re-joined with single
+    spaces)."""
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        flat, _doc_idx, counts = _split_flat(batch[text_col])
+        _assert_max_tokens(counts, max_tokens)
+        T = np.asarray(counts, dtype=np.int64)
+        n_chunks = np.where(T > 0, (T + stride - 1) // stride, 0)
+        # a chunk only exists while its START is inside the doc: ceil(T/S)
+        # chunks means the last start is ((ceil(T/S)-1)*S) < T — exact
+        total_chunks = int(n_chunks.sum())
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if total_chunks == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], ids.type),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        chunk_doc = np.repeat(np.arange(len(T), dtype=np.int64), n_chunks)
+        ccum = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        k = np.arange(total_chunks, dtype=np.int64) - np.repeat(ccum, n_chunks)
+        start = k * stride
+        length = np.minimum(start + size, T[chunk_doc]) - start
+        # overlapping gather: flat positions of every chunk token
+        doc_start = np.concatenate(([0], np.cumsum(T)[:-1]))
+        lcum = np.concatenate(([0], np.cumsum(length)[:-1]))
+        total_toks = int(length.sum())
+        within = np.arange(total_toks, dtype=np.int64) - np.repeat(lcum, length)
+        pos = np.repeat(doc_start[chunk_doc] + start, length) + within
+        toks = flat.take(pa.array(pos))
+        offsets = np.concatenate(([0], np.cumsum(length))).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), toks)
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(chunk_doc)),
+                "chunk_idx": pa.array(k, pa.int64()),
+                "chunk_text": pc.binary_join(lists, " "),
+                "n_tokens": pa.array(length, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        chunks, batch_format="pyarrow"
+    )
+
+
 def remove_tokens(
     ds,
     tokens,

@@ -1284,6 +1284,30 @@ SELECT d.doc_id,
 FROM d LEFT JOIN ka USING (doc_id) LEFT JOIN ca USING (doc_id)
 """
 
+# chunk_documents: fixed-token-window chunking with overlap (ops/
+# curation.chunk_documents, size=64 stride=48) — chunk k covers tokens
+# [k*48, min(k*48+64, T)); row-local, byte-exact.  list_filter drops the
+# '' token an all-whitespace doc would contribute (engine emits no chunk
+# for token-less docs); generate_series bound 0..63 covers the fixture's
+# 512-token max (engine query pins max_tokens=512).
+ORACLES["chunk_docs"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+ck AS (SELECT c FROM generate_series(0, 63) t(c)),
+chunks AS (
+  SELECT d.doc_id, ck.c AS chunk_idx,
+         array_to_string(d.w[ck.c*48+1 : least(ck.c*48+64, len(d.w))], ' ')
+           AS chunk_text,
+         CAST(least(ck.c*48+64, len(d.w)) - ck.c*48 AS BIGINT) AS n_tokens
+  FROM d JOIN ck ON ck.c*48 < len(d.w)
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text, n_tokens
+FROM chunks
+"""
+
 # decontaminate_rewrite: the ACTION half of decontaminate (ops/curation.
 # decontaminate_rewrite) — surgically drop tokens covered by an 8-token
 # window whose gram appears in the benchmark slice (doc_id % 37 = 0, the

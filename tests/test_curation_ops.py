@@ -499,6 +499,41 @@ def test_remove_tokens_hand_computed(ray_session):
     ], got.values.tolist()
 
 
+def test_chunk_documents_hand_computed(ray_session):
+    """size=3 stride=2 over 5 tokens → chunks [0,3) [2,5) [4,5); single
+    tokens chunk whole; empty/whitespace docs emit nothing; row-local so
+    partitioning-invariant."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from scoobie_ray.ops.curation import chunk_documents
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["a b c d e", "x", "", "   "], pa.string()),
+        }
+    )
+    want = [
+        [0, 0, "a b c", 3],
+        [0, 1, "c d e", 3],
+        [0, 2, "e", 1],
+        [1, 0, "x", 1],
+    ]
+    for par in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(par)
+        got = (
+            chunk_documents(ds, size=3, stride=2)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_idx"])
+            .values.tolist()
+        )
+        assert got == want, (par, got)
+    with pytest.raises(ValueError):
+        chunk_documents(ray.data.from_arrow(t), size=3, stride=4)
+
+
 def test_decontaminate_rewrite_hand_computed(ray_session):
     """Tokens covered by a window sharing a gram with the benchmark are
     dropped; clean docs pass through byte-identical; benchmark docs
