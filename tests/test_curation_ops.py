@@ -554,23 +554,22 @@ def test_decontaminate_rewrite_hand_computed(ray_session):
     bench = pa.table(
         {"doc_id": pa.array([9], pa.int64()), "text": pa.array(["p q"], pa.string())}
     )
-    got = (
-        decontaminate_rewrite(
-            ray.data.from_arrow(corpus).repartition(2),
-            ray.data.from_arrow(bench),
-            n=2,
-        )
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
     # doc0 windows: "p q","q r","r s"; "p q" in bench -> drops p,q -> "r s"
     # doc1: "x p","p q","q y"; drops p,q -> "x y";  doc2 untouched
-    assert got.values.tolist() == [
-        [0, "r s", 2],
-        [1, "x y", 2],
-        [2, "a b c", 0],
-    ], got.values.tolist()
+    want = [[0, "r s", 2], [1, "x y", 2], [2, "a b c", 0]]
+    for limit in (2_000_000, 0):  # 0 forces the co-partitioned regime
+        got = (
+            decontaminate_rewrite(
+                ray.data.from_arrow(corpus).repartition(2),
+                ray.data.from_arrow(bench),
+                n=2,
+                broadcast_limit=limit,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got.values.tolist() == want, (limit, got.values.tolist())
 
 
 def test_cross_doc_grams_max_tokens_guard(ray_session):
